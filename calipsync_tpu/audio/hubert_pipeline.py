@@ -1,0 +1,143 @@
+"""HuBERT feature extraction pipeline (one-pass and chunked long-audio).
+
+TPU-native equivalent of the reference's HubertExtractor
+(/root/reference/utils/hubert_extractor.py:18-77):
+
+  - ``extract``: normalize -> one forward -> trim odd row -> (T/2, 2, 1024).
+  - ``extract_features``: the chunked long-audio path with the reference's
+    exact chunk boundaries (20 s clips of ``stride*1000`` samples, each
+    extended by ``kernel - stride`` so chunk features align with a single
+    pass), final pad/trim to ``expected_T = (L - 80) // 320``.
+
+XLA needs static shapes; arbitrary audio lengths are handled by padding up
+to a bucket multiple and running the model with ``num_valid_frames`` masking
+(see nn/hubert.py docstring for why this is *exact*, not approximate). Full
+chunks all share one compiled shape; remainders compile once per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from calipsync_tpu.nn.hubert import HubertConfig, HubertModel, normalize_wav
+
+KERNEL = 400
+STRIDE = 320
+CLIP_SAMPLES = STRIDE * 1000          # 20 s at 16 kHz
+CHUNK_LEN = CLIP_SAMPLES - STRIDE + KERNEL  # 320080 -> exactly 1000 frames
+
+
+class HubertFeatureExtractor:
+    """Wraps a flax HubertModel + variables for host-driven extraction."""
+
+    def __init__(self, variables: dict,
+                 config: Optional[HubertConfig] = None,
+                 dtype=None, bucket_samples: int = 32_000):
+        self.config = config or HubertConfig.large()
+        self.variables = variables
+        self.model = HubertModel(self.config, dtype=dtype)
+        self.bucket = bucket_samples
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _fwd(variables, wav, n_valid):
+            return self.model.apply(variables, wav,
+                                    num_valid_frames=n_valid)
+
+        self._fwd = _fwd
+
+    def _forward_padded(self, normalized: np.ndarray) -> np.ndarray:
+        """(L,) normalized wav -> (num_frames(L), hidden) fp32."""
+        length = int(normalized.shape[0])
+        n_frames = self.config.num_frames(length)
+        if n_frames <= 0:
+            return np.zeros((0, self.config.hidden_size), np.float32)
+        padded_len = -(-length // self.bucket) * self.bucket
+        wav = np.zeros((1, padded_len), np.float32)
+        wav[0, :length] = normalized
+        out = self._fwd(self.variables, jnp.asarray(wav),
+                        jnp.asarray([n_frames], jnp.int32))
+        return np.asarray(out[0, :n_frames], dtype=np.float32)
+
+    def extract(self, speech_16k: np.ndarray) -> np.ndarray:
+        """One-pass path (reference .extract): wav -> (T/2, 2, 1024)."""
+        if speech_16k.ndim == 2:
+            speech_16k = speech_16k[:, 0]
+        normalized = np.asarray(normalize_wav(speech_16k))
+        feats = self._forward_padded(normalized)
+        t = feats.shape[0] - (feats.shape[0] % 2)
+        return feats[:t].reshape(-1, 2, self.config.hidden_size)
+
+    def extract_features(self, speech_16k: np.ndarray) -> np.ndarray:
+        """Chunked long-audio path (reference .extract_features)."""
+        if speech_16k.ndim == 2:
+            speech_16k = speech_16k[:, 0]
+        normalized = np.asarray(normalize_wav(speech_16k))
+        total = normalized.shape[0]
+        num_iter = total // CLIP_SAMPLES
+        expected_t = (total - (KERNEL - STRIDE)) // STRIDE
+
+        pieces = []
+        for i in range(num_iter):
+            start = CLIP_SAMPLES * i
+            pieces.append(self._forward_padded(
+                normalized[start:start + CHUNK_LEN]))
+        remaining = normalized[CLIP_SAMPLES * num_iter:]
+        if remaining.shape[0] >= KERNEL:
+            pieces.append(self._forward_padded(remaining))
+
+        if not pieces:
+            return np.zeros((0, 2, self.config.hidden_size), np.float32)
+        feats = np.concatenate(pieces, axis=0)
+        if feats.shape[0] < expected_t:
+            feats = np.pad(feats,
+                           ((0, expected_t - feats.shape[0]), (0, 0)))
+        else:
+            feats = feats[:expected_t]
+        t = feats.shape[0] - (feats.shape[0] % 2)
+        return feats[:t].reshape(-1, 2, self.config.hidden_size)
+
+    def extract_from_file(self, audio_path: str) -> np.ndarray:
+        from calipsync_tpu.audio.io import load_audio
+
+        return self.extract_features(load_audio(audio_path, 16_000))
+
+
+def load_hf_checkpoint(hubert_path: str, dtype=None,
+                       ) -> HubertFeatureExtractor:
+    """Build an extractor from a local HF checkpoint directory (the same
+    layout the reference points at, utils/hubert_extractor.py:84)."""
+    import json
+    import pathlib
+
+    from calipsync_tpu.nn.hubert import import_hubert
+
+    p = pathlib.Path(hubert_path)
+    cfg_json = json.loads((p / "config.json").read_text())
+
+    class _NS:
+        def __init__(self, d):
+            self.__dict__.update(d)
+
+    config = HubertConfig.from_hf(_NS(cfg_json))
+
+    sd = None
+    bin_path = p / "pytorch_model.bin"
+    st_path = p / "model.safetensors"
+    if st_path.exists():
+        from safetensors.numpy import load_file
+
+        sd = load_file(str(st_path))
+    elif bin_path.exists():
+        import torch
+
+        sd = {k: v.numpy() for k, v in
+              torch.load(bin_path, map_location="cpu").items()}
+    else:
+        raise FileNotFoundError(f"no model weights under {hubert_path}")
+    variables = import_hubert(sd, config)
+    return HubertFeatureExtractor(variables, config, dtype=dtype)

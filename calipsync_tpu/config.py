@@ -1,0 +1,124 @@
+"""Typed configuration for the CALipSync-TPU framework.
+
+The reference hard-codes every constant in place (fps=25 at
+/root/reference/inference.py:36, crop literals at
+/root/reference/dataset/dataset.py:91-98, sample rates at
+/root/reference/image_infer_v1/infer_api.py:58-62, ...). Here they live in
+one typed, serializable config tree (SURVEY.md section 5 calls this out as a
+day-one requirement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass(frozen=True)
+class CropConfig:
+    """Mouth-crop geometry (reference: dataset/dataset.py:83-98)."""
+
+    resize: int = 168          # square resize of the raw mouth bbox
+    margin: int = 4            # center crop [margin : resize - margin]
+    size: int = 160            # model input resolution
+    mask_x: int = 5            # cv2.rectangle((5, 5, 150, 145)) semantics:
+    mask_y: int = 5            # rows [y, y+h-1], cols [x, x+w-1] filled black
+    mask_w: int = 150
+    mask_h: int = 145
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    sample_rate: int = 16_000          # HuBERT input rate
+    fps: int = 25                      # output video rate
+    window: int = 16                   # HuBERT rows per frame window (+-8)
+    hubert_dim: int = 1024
+    min_rms_db: float = -150.0         # silence gate (step1:183-188)
+    playback_rates: tuple[int, ...] = (16_000, 24_000, 32_000)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    n_channels: int = 6
+    mode: str = "hubert"               # 'hubert' | 'wenet'
+    n_blocks: int = 4
+    dtype: str = "float32"             # compute dtype: 'float32'|'bfloat16'
+    attn_impl: str = "xla"             # 'xla' | 'pallas'
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 16               # global batch (sharded over data axis)
+    lr: float = 1e-3
+    epochs: int = 20
+    perceptual_weight: float = 0.1
+    num_workers: int = 4
+    seed: int = 0
+    checkpoint_every: int = 0          # 0 = final epoch only (ref behavior)
+    sync_batchnorm: bool = True        # cross-replica BN stats under DP
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh spec: data-parallel over ICI, optional DCN host axis."""
+
+    data: int = -1                     # -1 = all local devices
+    axis_name: str = "data"
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    batch_size: int = 8
+    fps: int = 25
+    buffer_threshold_s: float = 1.0    # streaming synthesis window
+    motion_min_pct: int = 5            # ping-pong segment length, % of total
+    motion_max_pct: int = 15
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    crop: CropConfig = field(default_factory=CropConfig)
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+
+
+def _from_dict(cls, data: dict) -> Any:
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+            v = _from_dict(f.type, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str | pathlib.Path | None = None,
+                overrides: Optional[dict] = None) -> PipelineConfig:
+    """Load a PipelineConfig from JSON, with optional nested overrides."""
+    data: dict = {}
+    if path is not None:
+        data = json.loads(pathlib.Path(path).read_text())
+    if overrides:
+        def merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    merge(dst[k], v)
+                else:
+                    dst[k] = v
+        merge(data, overrides)
+    return _from_dict(PipelineConfig, data)
+
+
+def save_config(cfg: PipelineConfig, path: str | pathlib.Path) -> None:
+    pathlib.Path(path).write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=2))

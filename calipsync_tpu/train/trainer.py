@@ -1,0 +1,142 @@
+"""Data-parallel jitted training step for the lip-sync generator.
+
+Replaces the reference's single-GPU torch loop
+(/root/reference/step2_train_unet.py:94-123) with a TPU-native design:
+
+  - One `shard_map` over a named ``data`` mesh axis; the per-shard step
+    computes grads locally and ``pmean``s them over ICI (the collective NCCL
+    would do on GPU is XLA's psum here). The same code path runs on 1 chip
+    (1-device mesh) and on N chips / N virtual CPU devices.
+  - BatchNorm uses cross-replica batch statistics (flax ``axis_name``),
+    documented choice per SURVEY.md section 7 "hard parts" (1): sync-BN
+    keeps train-mode numerics independent of the data-axis size.
+  - uint8 crops are normalized to [0,1] on device; audio windows are
+    gathered on device from the resident feature array.
+  - Adam with torch defaults (b1=0.9, b2=0.999, eps=1e-8), lr 1e-3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from calipsync_tpu.audio.windows import batched_windows
+from calipsync_tpu.config import ModelConfig, TrainConfig
+from calipsync_tpu.nn.unet import Generator
+from calipsync_tpu.train.loss import generator_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _dtype_of(cfg: ModelConfig):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.dtype]
+
+
+def build_model(model_cfg: ModelConfig, axis_name: Optional[str]) -> Generator:
+    return Generator(n_channels=model_cfg.n_channels, mode=model_cfg.mode,
+                     n_blocks=model_cfg.n_blocks, dtype=_dtype_of(model_cfg),
+                     axis_name=axis_name, attn_impl=model_cfg.attn_impl)
+
+
+def create_train_state(model: Generator, tx: optax.GradientTransformation,
+                       rng: jax.Array,
+                       init_variables: Optional[dict] = None) -> TrainState:
+    """Init (or adopt imported) variables and wrap them in a TrainState."""
+    if init_variables is None:
+        audio_shape = ((1, 32, 32, 32) if model.mode == "hubert"
+                       else (1, 16, 32, 256))
+        init_variables = jax.jit(model.init)(
+            rng, jnp.zeros((1, 160, 160, model.n_channels)),
+            jnp.zeros(audio_shape))
+    params = init_variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=init_variables["batch_stats"],
+                      opt_state=tx.init(params))
+
+
+def make_train_step(model: Generator, tx: optax.GradientTransformation,
+                    mesh: Mesh, train_cfg: TrainConfig,
+                    use_perceptual: bool = True,
+                    axis_name: str = "data"):
+    """Build the jitted DP train step.
+
+    Returns fn(state, batch, audio_feats, vgg_variables) -> (state, metrics):
+      batch: {'ref','masked','target': (B,160,160,3) uint8,
+              'index': (B,) int32} with B sharded over ``axis_name``;
+      audio_feats: (T, 2, 1024) fp32, replicated;
+      vgg_variables: VGG19Features variables (replicated), or pass
+        use_perceptual=False and feed an empty dict.
+
+    VGG weights are an explicit argument (not a closure) so they are jit
+    inputs rather than HLO constants — keeps compile fast and cacheable.
+    """
+    compute_dtype = model.dtype or jnp.float32
+
+    def shard_step(state: TrainState, batch: dict, audio_feats: jax.Array,
+                   vgg_variables):
+        imgs = jnp.concatenate([batch["ref"], batch["masked"]], axis=-1)
+        imgs = imgs.astype(compute_dtype) / 255.0
+        labels = batch["target"].astype(jnp.float32) / 255.0
+        audio = batched_windows(audio_feats, batch["index"]).astype(
+            compute_dtype)
+
+        def loss_fn(params):
+            pred, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, audio, train=True, mutable=["batch_stats"])
+            total, metrics = generator_loss(
+                pred, labels, vgg_variables if use_perceptual else None,
+                perceptual_weight=train_cfg.perceptual_weight,
+                dtype=compute_dtype)
+            return total, (updates["batch_stats"], metrics)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(state.params)
+        grads = jax.lax.pmean(grads, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    batch_spec = {"ref": P(axis_name), "masked": P(axis_name),
+                  "target": P(axis_name), "index": P(axis_name)}
+    mapped = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), batch_spec, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_eval_step(model: Generator, mesh: Mesh, axis_name: str = "data"):
+    """Jitted data-sharded generator forward for validation/inference.
+
+    fn(variables, imgs6 (B,160,160,6) float in [0,1], audio (B,32,32,32))
+    -> (B,160,160,3) fp32. B sharded over the mesh.
+    """
+    def fwd(variables, imgs, audio):
+        return model.apply(variables, imgs, audio, train=False)
+
+    mapped = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def adam(train_cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(train_cfg.lr)

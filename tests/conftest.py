@@ -7,11 +7,18 @@ into 8 virtual devices, per SURVEY.md section 4.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: jax is already imported at interpreter start by the environment's
+# sitecustomize (TPU plugin registration), so env vars alone are too late;
+# the runtime config update below does the actual platform forcing.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
@@ -39,6 +46,44 @@ def reference_path():
     if not REFERENCE.exists():
         pytest.skip("reference repo not available")
     return REFERENCE
+
+
+@pytest.fixture(scope="session")
+def synthetic_step1_dir(tmp_path_factory):
+    """A tiny synthetic step1 output directory (the reference's example clip
+    was stripped from the snapshot — SURVEY.md section 6), with plausible
+    geometry: valid mouth bboxes and a convex 33-point face polygon."""
+    import cv2
+    import numpy as np
+
+    root = tmp_path_factory.mktemp("step1_data")
+    (root / "full_body_img").mkdir()
+    (root / "landmarks").mkdir()
+    rng = np.random.default_rng(42)
+    n_frames = 12
+    H = W = 480
+    for i in range(n_frames):
+        img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "full_body_img" / f"{i}.jpg"),
+                    img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        lms = np.zeros((110, 2), dtype=np.int64)
+        xmin = 120 + int(rng.integers(-8, 8))
+        width = 180 + int(rng.integers(-10, 10))
+        xmax = xmin + width
+        ymin = 200 + int(rng.integers(-8, 8))
+        # 33-point face outline polygon (used by the paste-back compositor)
+        theta = np.linspace(0, 2 * np.pi, 33, endpoint=False)
+        cx, cy = (xmin + xmax) // 2, ymin + width // 2
+        lms[:33, 0] = (cx + 0.45 * width * np.cos(theta)).astype(np.int64)
+        lms[:33, 1] = (cy + 0.45 * width * np.sin(theta)).astype(np.int64)
+        lms[33:] = rng.integers(xmin, xmax, (77, 2))
+        lms[1] = (xmin, cy)
+        lms[31] = (xmax, cy)
+        lms[52] = (cx, ymin)
+        np.savetxt(str(root / "landmarks" / f"{i}.lms"), lms, fmt="%d")
+    feats = rng.standard_normal((26, 2, 1024)).astype(np.float32)
+    np.save(str(root / "aud_hu.npy"), feats)
+    return root
 
 
 @pytest.fixture(scope="session")
