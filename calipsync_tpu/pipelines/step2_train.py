@@ -1,0 +1,109 @@
+"""Step 2: single-speaker generator finetune.
+
+Rebuild of /root/reference/step2_train_unet.py:38-138 as a data-parallel
+TPU training loop: DP mesh over all devices, shard_map train step (pmean
+grads over ICI), host decode overlapped with device compute via the
+Prefetcher, Orbax checkpoints with resume support.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from calipsync_tpu.config import PipelineConfig
+from calipsync_tpu.core import checkpoint as ckpt
+from calipsync_tpu.core.mesh import make_mesh, replicate, shard_batch
+from calipsync_tpu.core.weights import import_generator, load_torch_state_dict
+from calipsync_tpu.data.dataset import (LipSyncDataset, Prefetcher,
+                                        batch_iterator)
+from calipsync_tpu.nn.vgg import VGG19Features, import_vgg19_features
+from calipsync_tpu.train.trainer import (TrainState, adam, build_model,
+                                         create_train_state, make_train_step)
+
+
+def load_vgg_variables(vgg_path: Optional[str]):
+    """vgg19-dcbb9e9d.pth -> flax variables, or None to skip the
+    perceptual term."""
+    if not vgg_path:
+        return None
+    return import_vgg19_features(load_torch_state_dict(vgg_path))
+
+
+def train_digital_model(dataset_dir: str, save_dir: str,
+                        vgg_path: Optional[str] = None,
+                        unet_checkpoint: Optional[str] = None,
+                        cfg: PipelineConfig = PipelineConfig(),
+                        resume: bool = False,
+                        log_every: int = 10) -> str:
+    """Finetune the generator on one speaker's step1 data.
+
+    ``unet_checkpoint`` may be a torch .pth (base-model warm start, the
+    reference flow at all_pipeline.py:92) or an Orbax dir (ours).
+    Returns the final checkpoint path.
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    mesh = make_mesh(cfg.mesh.data, cfg.mesh.axis_name)
+    axis = cfg.mesh.axis_name if cfg.train.sync_batchnorm else None
+    model = build_model(cfg.model, axis_name=axis)
+    tx = adam(cfg.train)
+
+    init_variables = None
+    if unet_checkpoint and os.path.isfile(unet_checkpoint):
+        init_variables = import_generator(
+            load_torch_state_dict(unet_checkpoint), mode=cfg.model.mode,
+            n_blocks=cfg.model.n_blocks)
+    state = create_train_state(model, tx, jax.random.key(cfg.train.seed),
+                               init_variables)
+    start_epoch = 0
+    if resume and ckpt.latest_step(save_dir) is not None:
+        state = ckpt.restore_checkpoint(save_dir, state)
+        start_epoch = int(state.step)  # steps stored as epochs boundary info
+
+    vgg_variables = load_vgg_variables(vgg_path)
+    use_perceptual = vgg_variables is not None
+    if not use_perceptual:
+        # keep the step signature stable; zeros tree with no compute cost
+        vgg_variables = jax.jit(VGG19Features().init)(
+            jax.random.key(0), jnp.zeros((1, 160, 160, 3)))
+
+    step_fn = make_train_step(model, tx, mesh, cfg.train,
+                              use_perceptual=use_perceptual,
+                              axis_name=cfg.mesh.axis_name)
+
+    ds = LipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop)
+    feats_dev = replicate(jnp.asarray(ds.audio_feats), mesh)
+    state = replicate(state, mesh)
+    vgg_variables = replicate(vgg_variables, mesh)
+
+    rng = np.random.default_rng(cfg.train.seed)
+    last_path = ""
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t0 = time.time()
+        it = batch_iterator(ds, cfg.train.batch_size, rng, shuffle=True,
+                            drop_last=True,
+                            num_workers=cfg.train.num_workers)
+        prefetch = Prefetcher(it, depth=2,
+                              put_fn=lambda b: shard_batch(b, mesh))
+        epoch_loss, n_batches = 0.0, 0
+        for batch in prefetch:
+            state, metrics = step_fn(state, batch, feats_dev, vgg_variables)
+            epoch_loss += float(metrics["loss"])
+            n_batches += 1
+            if log_every and n_batches % log_every == 0:
+                print(f"epoch {epoch + 1}/{cfg.train.epochs} "
+                      f"batch {n_batches} loss {float(metrics['loss']):.6f}")
+        final = epoch == cfg.train.epochs - 1
+        periodic = (cfg.train.checkpoint_every
+                    and (epoch + 1) % cfg.train.checkpoint_every == 0)
+        if final or periodic:
+            last_path = str(ckpt.save_checkpoint(save_dir, epoch + 1, state))
+        if n_batches:
+            print(f"epoch {epoch + 1} done in {time.time() - t0:.2f}s "
+                  f"avg loss {epoch_loss / n_batches:.6f}")
+    return last_path

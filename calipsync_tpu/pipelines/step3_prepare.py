@@ -1,0 +1,88 @@
+"""Step 3: video -> inference assets.
+
+Rebuild of /root/reference/step3_prepare_infer_data.py:9-196. Output layout
+consumed by infer/synthesizer.py:
+
+    {out}/sample.jpg
+    {out}/infer_data/frames/{i:06d}.jpg     (JPEG q95 full frames)
+    {out}/infer_data/positions/{i:06d}.txt  (landmarks, float text)
+    {out}/infer_data/lips_jpg/{i:06d}.jpg   (168x168 mouth crops)
+    {out}/infer_data/masks/                 (XSeg masks; generation is a
+        hook — the reference ships it disabled, :18,64)
+    {out}/srt/                              (ASR slicing hook, disabled)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import cv2
+import numpy as np
+
+
+class InferPreprocessor:
+    def __init__(self, lip_detector, batch_size: int = 32,
+                 mask_generator=None):
+        """mask_generator: optional callable (frame, landmarks) -> (168,168)
+        float mask — the XSeg hook (reference generate_mask:28-89)."""
+        self.lip_detector = lip_detector
+        self.batch_size = batch_size
+        self.mask_generator = mask_generator
+
+    def _process_batch(self, frames, indices, infer_dir: str) -> None:
+        landmarks_list = self.lip_detector.detect_landmarks(frames)
+        for lms, idx, frame in zip(landmarks_list, indices, frames):
+            if lms is None or len(lms) == 0:
+                continue
+            n = str(idx).zfill(6)
+            cv2.imwrite(os.path.join(infer_dir, "frames", f"{n}.jpg"),
+                        frame, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            np.savetxt(os.path.join(infer_dir, "positions", f"{n}.txt"),
+                       lms[0])
+            lm = lms[0]
+            xmin, ymin = int(lm[1][0]), int(lm[52][1])
+            xmax = int(lm[31][0])
+            width = xmax - xmin
+            mouth = frame[ymin:ymin + width, xmin:xmax]
+            if mouth.size > 0:
+                cv2.imwrite(os.path.join(infer_dir, "lips_jpg", f"{n}.jpg"),
+                            cv2.resize(mouth, (168, 168)))
+            if self.mask_generator is not None:
+                mask = self.mask_generator(frame, lm)
+                cv2.imwrite(os.path.join(infer_dir, "masks", f"{n}.jpg"),
+                            (np.clip(mask, 0, 1) * 255).astype(np.uint8))
+
+    def process_video(self, video_path: str, output_dir: str) -> dict:
+        os.makedirs(output_dir, exist_ok=True)
+        srt_dir = os.path.join(output_dir, "srt")
+        os.makedirs(srt_dir, exist_ok=True)
+        infer_dir = os.path.join(output_dir, "infer_data")
+        for d in ("frames", "positions", "lips_jpg", "masks"):
+            os.makedirs(os.path.join(infer_dir, d), exist_ok=True)
+
+        cap = cv2.VideoCapture(video_path)
+        ok, first = cap.read()
+        if ok:
+            cv2.imwrite(os.path.join(output_dir, "sample.jpg"), first)
+        cap.release()
+
+        cap = cv2.VideoCapture(video_path)
+        buf, idxs, i = [], [], 0
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                buf.append(frame)
+                idxs.append(i)
+                if len(buf) >= self.batch_size:
+                    self._process_batch(buf, idxs, infer_dir)
+                    buf, idxs = [], []
+                i += 1
+            if buf:
+                self._process_batch(buf, idxs, infer_dir)
+        finally:
+            cap.release()
+        return {"infer_dir": infer_dir, "srt_dir": srt_dir,
+                "processed_frames": i}

@@ -87,6 +87,27 @@ def synthetic_step1_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def synthetic_step3_dir(synthetic_step1_dir, tmp_path_factory):
+    """Mirror of the step1 fixture in the step3 infer_data layout."""
+    import shutil
+
+    import numpy as np
+
+    root = tmp_path_factory.mktemp("step3_data")
+    infer = root / "infer_data"
+    for d in ("frames", "positions", "lips_jpg", "masks"):
+        (infer / d).mkdir(parents=True)
+    src_imgs = sorted((synthetic_step1_dir / "full_body_img").glob("*.jpg"),
+                      key=lambda p: int(p.stem))
+    for i, img in enumerate(src_imgs):
+        n = str(i).zfill(6)
+        shutil.copy(img, infer / "frames" / f"{n}.jpg")
+        lms = np.loadtxt(synthetic_step1_dir / "landmarks" / f"{i}.lms")
+        np.savetxt(str(infer / "positions" / f"{n}.txt"), lms)
+    return infer
+
+
+@pytest.fixture(scope="session")
 def reference_modules(reference_path):
     """Import the reference's torch modules (read-only, never copied)."""
     sys.path.insert(0, str(reference_path))

@@ -1,0 +1,136 @@
+"""S3FD parity vs reference torch net + box utils, and LipDetector facade."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from calipsync_tpu.nn.s3fd import (S3FDBackbone, S3FDDetector, decode_np,
+                                   import_s3fd, nms_np, priors_np,
+                                   s3fd_feature_maps)
+from calipsync_tpu.vision.lip_detector import LipDetector
+
+
+@pytest.fixture(scope="module")
+def ref_s3fd(reference_path):
+    s3fd_dir = reference_path / "utils" / "lip_detector" / "tools" / "s3fd"
+    pkg = types.ModuleType("ref_s3fd_pkg")
+    pkg.__path__ = [str(s3fd_dir)]
+    sys.modules["ref_s3fd_pkg"] = pkg
+    for name in ("box_utils", "nets"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_s3fd_pkg.{name}", s3fd_dir / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_s3fd_pkg.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+    return pkg
+
+
+def test_backbone_matches_reference(ref_s3fd):
+    import torch
+
+    net = ref_s3fd.nets.S3FDNet(device="cpu").eval()
+    torch.manual_seed(0)
+    for p in net.parameters():
+        p.data = torch.randn_like(p) * 0.05
+
+    captured = {}
+
+    class _CaptureDetect:
+        def forward(self, loc, conf, priors):
+            captured["loc"], captured["conf"], captured["priors"] = \
+                loc, conf, priors
+            return torch.zeros(1)
+
+    net.detect = _CaptureDetect()
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 128, 96)).astype(np.float32)
+    with torch.no_grad():
+        net(torch.from_numpy(x))
+
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    variables = import_s3fd(sd)
+    model = S3FDBackbone()
+    loc, conf = jax.jit(model.apply)(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(np.asarray(loc)[0],
+                               captured["loc"].view(-1, 4).numpy(),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(conf)[0],
+                               captured["conf"].view(-1, 2).numpy(),
+                               rtol=1e-3, atol=1e-5)
+    priors = priors_np(128, 96, s3fd_feature_maps(128, 96))
+    np.testing.assert_allclose(priors, captured["priors"].numpy(),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_nms_and_decode_match_reference(ref_s3fd):
+    import torch
+
+    rng = np.random.default_rng(1)
+    n = 80
+    xy = rng.random((n, 2)) * 100
+    wh = rng.random((n, 2)) * 50 + 5
+    dets = np.concatenate([xy, xy + wh, rng.random((n, 1))],
+                          axis=1).astype(np.float32)
+    np.testing.assert_array_equal(nms_np(dets, 0.3),
+                                  ref_s3fd.box_utils.nms_(dets, 0.3))
+
+    loc = rng.standard_normal((n, 4)).astype(np.float32)
+    priors = np.abs(rng.standard_normal((n, 4))).astype(np.float32) + 0.1
+    ours = decode_np(loc, priors)
+    ref = ref_s3fd.box_utils.decode(torch.from_numpy(loc),
+                                    torch.from_numpy(priors),
+                                    [0.1, 0.2]).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_detector_fallback_and_interface():
+    model = S3FDBackbone()
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 128, 128, 3)))
+    det = S3FDDetector(variables, scale=1.0)
+    img = np.zeros((128, 128, 3), np.uint8)
+    out = det.detect([img, img])
+    assert len(out) == 2
+    bboxes, indices = out[0]
+    assert isinstance(indices, list)  # no-face path tolerated
+
+
+class _FixedDetector:
+    """Deterministic single-face stub for facade tests."""
+
+    def detect(self, images):
+        return [(np.array([[40.0, 30.0, 80.0, 90.0]]), [0])
+                for _ in images]
+
+
+def test_lip_detector_facade():
+    from calipsync_tpu.nn.pfld import PFLDGhostOne, fold_mobileone_params
+
+    pfld = PFLDGhostOne()
+    variables = jax.jit(pfld.init)(jax.random.key(0),
+                                   jnp.zeros((1, 192, 192, 3)))
+    folded = fold_mobileone_params(variables)
+    mean_face = np.random.default_rng(0).random(220).astype(np.float32)
+
+    det = LipDetector(folded, mean_face, _FixedDetector())
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (200, 180, 3)).astype(np.uint8)
+            for _ in range(3)]
+    results = det.detect_landmarks(imgs)
+    assert len(results) == 3
+    for r in results:
+        assert r is not None and len(r) == 1
+        assert r[0].shape == (110, 2) and r[0].dtype == np.int32
+    # same image -> same landmarks (deterministic)
+    again = det.detect_landmarks([imgs[0]])
+    np.testing.assert_array_equal(results[0][0], again[0][0])

@@ -1,0 +1,87 @@
+"""FrameSynthesizer: sequencing, batching, compositing behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from calipsync_tpu.infer.synthesizer import (FrameSynthesizer,
+                                             PingPongSequencer)
+from calipsync_tpu.nn.unet import Generator
+
+
+@pytest.fixture(scope="module")
+def gen_variables():
+    model = Generator()
+    return model, jax.jit(model.init)(jax.random.key(0),
+                                      jnp.zeros((1, 160, 160, 6)),
+                                      jnp.zeros((1, 32, 32, 32)))
+
+
+def test_pingpong_sequencer_bounds_and_determinism():
+    total = 50
+    seq = PingPongSequencer(total, np.random.default_rng(7))
+    walk = seq.next(500)
+    assert len(walk) == 500
+    assert min(walk) >= 0 and max(walk) < total
+    # steps are +-1 with reflection at the ends (motion continuity)
+    diffs = np.abs(np.diff(walk))
+    assert set(np.unique(diffs)).issubset({1})
+    walk2 = PingPongSequencer(total, np.random.default_rng(7)).next(500)
+    assert walk == walk2
+
+
+def test_synthesizer_end_to_end(synthetic_step3_dir, gen_variables):
+    model, variables = gen_variables
+    synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                             model=model, batch_size=4, seed=0)
+    assert synth.total_frames == 12
+
+    feats = np.random.default_rng(1).standard_normal(
+        (10, 2, 1024)).astype(np.float32)
+    items = list(synth.iterate_synthesized_frames(feats))
+    assert len(items) == 10
+    assert [it["index"] for it in items] == list(range(10))
+    for it in items:
+        assert it["frame"].shape == (480, 480, 3)
+        assert it["frame"].dtype == np.uint8
+        assert 0 <= it["physical_index"] < 12
+
+    # no-sync path returns untouched source frames
+    synth2 = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                              model=model, batch_size=4, seed=0)
+    raw = list(synth2.iterate_synthesized_frames(
+        feats, is_generate_sync_frame=False))
+    assert len(raw) == 10
+    import cv2
+    first_phys = raw[0]["physical_index"]
+    src = cv2.imread(str(synthetic_step3_dir / "frames" /
+                         f"{str(first_phys).zfill(6)}.jpg"))
+    np.testing.assert_array_equal(raw[0]["frame"], src)
+
+
+def test_composite_touches_only_face_region(synthetic_step3_dir,
+                                            gen_variables):
+    import cv2
+
+    model, variables = gen_variables
+    synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                             model=model, batch_size=2, seed=3)
+    feats = np.random.default_rng(2).standard_normal(
+        (4, 2, 1024)).astype(np.float32)
+    items = list(synth.iterate_synthesized_frames(feats))
+    for it in items[:2]:
+        phys = str(it["physical_index"]).zfill(6)
+        src = cv2.imread(str(synthetic_step3_dir / "frames" / f"{phys}.jpg"))
+        lms = np.loadtxt(str(synthetic_step3_dir / "positions" /
+                             f"{phys}.txt"))
+        diff = np.any(it["frame"] != src, axis=-1)
+        # changed pixels must lie inside the crop bbox
+        ys, xs = np.where(diff)
+        if len(ys):
+            xmin, ymin = int(lms[1][0]), int(lms[52][1])
+            xmax = int(lms[31][0])
+            ymax = ymin + (xmax - xmin)
+            assert ys.min() >= ymin and ys.max() < ymax
+            assert xs.min() >= xmin and xs.max() < xmax
