@@ -1,24 +1,73 @@
-"""Host audio IO: ffmpeg-backed decode/resample.
+"""Host audio IO: native wav decode + polyphase resampling.
 
-The reference shells out to ffmpeg for 16 kHz mono conversion
-(/root/reference/utils/hubert_extractor.py:13-16, step1:172-177). We do the
-same but stream raw f32 PCM over a pipe instead of writing temp wav files.
+The reference shells out to ffmpeg for all audio work
+(/root/reference/utils/hubert_extractor.py:13-16, step1:172-177). This
+image has no ffmpeg binary, so the primary path is native: scipy wav
+read/write + `scipy.signal.resample_poly` (polyphase FIR — the same class
+of resampler ffmpeg's swr uses). When an ffmpeg binary IS present
+(production hosts), it is used for non-wav containers and A/V muxing;
+otherwise those calls raise with a clear message.
 """
 
 from __future__ import annotations
 
+import math
+import shutil
 import subprocess
 from typing import Optional
 
 import numpy as np
 
 
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def _to_float_mono(audio: np.ndarray) -> np.ndarray:
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 32768.0
+    elif audio.dtype == np.int32:
+        audio = audio.astype(np.float32) / 2147483648.0
+    elif audio.dtype == np.uint8:
+        audio = (audio.astype(np.float32) - 128.0) / 128.0
+    else:
+        audio = audio.astype(np.float32)
+    if audio.ndim == 2:
+        audio = audio.mean(axis=1)
+    return audio
+
+
+def resample(audio: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Polyphase resampling (kaiser-windowed FIR)."""
+    if src_rate == dst_rate:
+        return audio.astype(np.float32)
+    from scipy.signal import resample_poly
+
+    g = math.gcd(src_rate, dst_rate)
+    out = resample_poly(audio.astype(np.float64), dst_rate // g,
+                        src_rate // g)
+    return out.astype(np.float32)
+
+
 def load_audio(path: str, sample_rate: int = 16_000,
                channels: int = 1) -> np.ndarray:
-    """Decode any A/V file to float32 PCM at the given rate (mono by default)."""
+    """Decode an audio file to float32 PCM at the given rate (mono).
+
+    wav: native (scipy). Other containers: requires an ffmpeg binary.
+    """
+    if path.lower().endswith(".wav"):
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path)
+        audio = _to_float_mono(data)
+        return resample(audio, sr, sample_rate)
+    if not have_ffmpeg():
+        raise RuntimeError(
+            f"cannot decode {path!r}: no ffmpeg on this host and native "
+            "decode only supports .wav")
     cmd = ["ffmpeg", "-v", "error", "-i", path, "-vn",
-           "-ar", str(sample_rate), "-ac", str(channels),
-           "-f", "f32le", "-"]
+           "-ar", str(sample_rate), "-ac", str(channels), "-f", "f32le",
+           "-"]
     out = subprocess.run(cmd, capture_output=True, check=True).stdout
     audio = np.frombuffer(out, dtype=np.float32)
     if channels > 1:
@@ -28,7 +77,13 @@ def load_audio(path: str, sample_rate: int = 16_000,
 
 def extract_wav(video_path: str, wav_path: str,
                 sample_rate: int = 16_000) -> None:
-    """Extract a mono wav from a video (reference step1:172-177)."""
+    """Extract a mono wav track from a video (reference step1:172-177).
+    Needs ffmpeg; gate callers on :func:`have_ffmpeg` or pass a side-car
+    wav to the pipeline instead."""
+    if not have_ffmpeg():
+        raise RuntimeError(
+            "audio extraction from video requires ffmpeg; provide the "
+            "audio as a .wav side-car file instead")
     subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", video_path, "-vn",
                     "-ar", str(sample_rate), "-ac", "1", wav_path],
                    check=True)
@@ -41,16 +96,27 @@ def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
 
 
 def rms_db(audio: np.ndarray) -> float:
-    """Mean RMS energy in dB (the reference's librosa-based silence gate,
-    step1_data_preprocess.py:180-188)."""
+    """Mean RMS energy in dB (cheap global variant of the reference's
+    librosa gate, step1_data_preprocess.py:180-188)."""
     rms = np.sqrt(np.mean(np.square(audio.astype(np.float64))))
     return float(20.0 * np.log10(max(rms, 1e-10)))
 
 
 def mux_audio(video_path: str, audio_path: str, out_path: str,
-              audio_codec: str = "aac") -> None:
-    """Mux generated frames' video with the source audio
-    (reference inference.py:108-110)."""
-    subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", video_path,
-                    "-i", audio_path, "-c:v", "copy", "-c:a", audio_codec,
-                    "-shortest", out_path], check=True)
+              audio_codec: str = "aac") -> Optional[str]:
+    """Mux video with an audio track (reference inference.py:108-110).
+
+    With ffmpeg: writes ``out_path`` and returns it. Without: copies the
+    video to ``out_path`` and writes the audio next to it as
+    ``{out_path}.wav`` (cv2 cannot mux audio), returning the wav path.
+    """
+    if have_ffmpeg():
+        subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", video_path,
+                        "-i", audio_path, "-c:v", "copy", "-c:a",
+                        audio_codec, "-shortest", out_path], check=True)
+        return None
+    shutil.copyfile(video_path, out_path)
+    side_car = out_path + ".wav"
+    audio = load_audio(audio_path, 24_000)
+    save_wav(side_car, audio, 24_000)
+    return side_car

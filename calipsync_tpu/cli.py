@@ -1,0 +1,206 @@
+"""Command-line interface for the CALipSync-TPU pipelines.
+
+The reference documents a CLI (usage.md) whose scripts don't exist in its
+repo; entry points are hard-coded ``__main__`` blocks
+(/root/reference/all_pipeline.py:122-136). This is the real thing:
+
+    python -m calipsync_tpu.cli step1  --video v.mp4 --out data/ ...
+    python -m calipsync_tpu.cli train  --data data/ --save ckpt/ ...
+    python -m calipsync_tpu.cli step3  --video v.mp4 --out assets/ ...
+    python -m calipsync_tpu.cli infer  --assets assets/infer_data \\
+        --ckpt ckpt/ --audio a.wav --out out.mp4
+    python -m calipsync_tpu.cli clone  --video v.mp4 --out models/ ...
+    python -m calipsync_tpu.cli cost   # compiled FLOPs/bytes of the model
+
+Weight-directory layout matches the reference's
+(utils/lip_detector/lip_detector.py:11-14): mean_face.txt, sfd_face.pth,
+checkpoint_epoch_335.pth.tar.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_lip_detector(weights_dir: str, dtype=None):
+    from calipsync_tpu.core.weights import load_torch_state_dict
+    from calipsync_tpu.nn.pfld import fold_mobileone_params, import_pfld
+    from calipsync_tpu.nn.s3fd import S3FDDetector, import_s3fd
+    from calipsync_tpu.vision.lip_detector import (LipDetector,
+                                                   load_mean_face)
+
+    mean_face = load_mean_face(os.path.join(weights_dir, "mean_face.txt"))
+    s3fd_vars = import_s3fd(load_torch_state_dict(
+        os.path.join(weights_dir, "sfd_face.pth")))
+    pfld_sd = load_torch_state_dict(
+        os.path.join(weights_dir, "checkpoint_epoch_335.pth.tar"))
+    pfld_vars = fold_mobileone_params(import_pfld(pfld_sd))
+    detector = S3FDDetector(s3fd_vars, dtype=dtype)
+    return LipDetector(pfld_vars, mean_face, detector, dtype=dtype)
+
+
+def build_hubert(hubert_path: str, dtype=None):
+    from calipsync_tpu.audio.hubert_pipeline import load_hf_checkpoint
+
+    return load_hf_checkpoint(hubert_path, dtype=dtype)
+
+
+def load_generator_variables(ckpt_path: str, cfg):
+    """Torch .pth or Orbax checkpoint dir -> generator variables."""
+    import jax
+
+    from calipsync_tpu.core import checkpoint as ckpt
+    from calipsync_tpu.core.weights import (import_generator,
+                                            load_torch_state_dict)
+
+    if os.path.isfile(ckpt_path):
+        return import_generator(load_torch_state_dict(ckpt_path),
+                                mode=cfg.model.mode,
+                                n_blocks=cfg.model.n_blocks)
+    # Orbax TrainState checkpoint
+    import jax.numpy as jnp
+
+    from calipsync_tpu.train.trainer import (adam, build_model,
+                                             create_train_state)
+
+    model = build_model(cfg.model, axis_name=None)
+    state = create_train_state(model, adam(cfg.train), jax.random.key(0))
+    state = ckpt.restore_checkpoint(ckpt_path, state)
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def _load_cfg(args):
+    from calipsync_tpu.config import load_config
+
+    return load_config(getattr(args, "config", None))
+
+
+def cmd_step1(args):
+    from calipsync_tpu.pipelines.step1_preprocess import TrainPreprocessor
+
+    cfg = _load_cfg(args)
+    pre = TrainPreprocessor(build_lip_detector(args.weights),
+                            build_hubert(args.hubert), crop=cfg.crop)
+    out = pre.process_video(args.video, args.out, audio_path=args.audio)
+    print(json.dumps(out))
+
+
+def cmd_train(args):
+    from calipsync_tpu.pipelines.step2_train import train_digital_model
+
+    cfg = _load_cfg(args)
+    path = train_digital_model(args.data, args.save, vgg_path=args.vgg,
+                               unet_checkpoint=args.base, cfg=cfg,
+                               resume=args.resume)
+    print(path)
+
+
+def cmd_step3(args):
+    from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
+
+    pre = InferPreprocessor(build_lip_detector(args.weights))
+    out = pre.process_video(args.video, args.out)
+    print(json.dumps(out))
+
+
+def cmd_infer(args):
+    import jax.numpy as jnp
+
+    from calipsync_tpu.infer.synthesizer import FrameSynthesizer
+    from calipsync_tpu.pipelines.inference import VideoStreamManager
+    from calipsync_tpu.train.trainer import build_model
+
+    cfg = _load_cfg(args)
+    variables = load_generator_variables(args.ckpt, cfg)
+    model = build_model(cfg.model, axis_name=None)
+    synth = FrameSynthesizer(variables, args.assets, model=model,
+                             batch_size=cfg.infer.batch_size,
+                             crop=cfg.crop, seed=args.seed)
+    mgr = VideoStreamManager(synth, build_hubert(args.hubert),
+                             fps=cfg.infer.fps)
+    out = mgr.process_single_file(args.audio, args.out)
+    print(json.dumps(out))
+
+
+def cmd_clone(args):
+    from calipsync_tpu.pipelines.all_pipeline import clone_video_local
+
+    cfg = _load_cfg(args)
+    weights_path, model_id = clone_video_local(
+        args.video, args.out, build_lip_detector(args.weights),
+        build_hubert(args.hubert), vgg_path=args.vgg,
+        unet_checkpoint=args.base, cfg=cfg)
+    print(json.dumps({"weights": weights_path, "model_id": model_id}))
+
+
+def cmd_cost(args):
+    from calipsync_tpu.profiling import generator_cost
+
+    print(json.dumps(generator_cost(batch=args.batch)["gflops"]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="calipsync_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, *names):
+        if "weights" in names:
+            sp.add_argument("--weights", required=True,
+                            help="lip-detector weights dir")
+        if "hubert" in names:
+            sp.add_argument("--hubert", required=True,
+                            help="HF hubert checkpoint dir")
+        sp.add_argument("--config", default=None, help="JSON config file")
+
+    sp = sub.add_parser("step1", help="video -> training data")
+    sp.add_argument("--video", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--audio", default=None, help="side-car wav")
+    common(sp, "weights", "hubert")
+    sp.set_defaults(fn=cmd_step1)
+
+    sp = sub.add_parser("train", help="finetune the generator")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--save", required=True)
+    sp.add_argument("--vgg", default=None)
+    sp.add_argument("--base", default=None, help="warm-start checkpoint")
+    sp.add_argument("--resume", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("step3", help="video -> inference assets")
+    sp.add_argument("--video", required=True)
+    sp.add_argument("--out", required=True)
+    common(sp, "weights")
+    sp.set_defaults(fn=cmd_step3)
+
+    sp = sub.add_parser("infer", help="audio -> lip-synced video")
+    sp.add_argument("--assets", required=True, help="infer_data dir")
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--audio", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--seed", type=int, default=None)
+    common(sp, "hubert")
+    sp.set_defaults(fn=cmd_infer)
+
+    sp = sub.add_parser("clone", help="full video -> per-speaker model")
+    sp.add_argument("--video", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--vgg", default=None)
+    sp.add_argument("--base", default=None)
+    common(sp, "weights", "hubert")
+    sp.set_defaults(fn=cmd_clone)
+
+    sp = sub.add_parser("cost", help="compiled model cost analysis")
+    sp.add_argument("--batch", type=int, default=1)
+    sp.set_defaults(fn=cmd_cost)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

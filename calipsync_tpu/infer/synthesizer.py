@@ -51,8 +51,44 @@ def make_generate_fn(model: Generator):
         imgs = imgs.astype(dtype) / 255.0
         audio = batched_windows(audio_feats, indices).astype(dtype)
         pred = model.apply(variables, imgs, audio, train=False)
-        # reference quantization: float*255 -> uint8 C-cast (truncation)
-        return (pred * 255.0).astype(jnp.uint8)
+        # reference quantization: float*255 -> uint8 C-cast (truncation);
+        # flat return for fast d2h (see make_generate_resident_fn)
+        pred = (pred * 255.0).astype(jnp.uint8)
+        return pred.reshape(pred.shape[0], -1)
+
+    return fn
+
+
+def make_generate_resident_fn(model: Generator, crop: CropConfig):
+    """Device-resident variant: the speaker's mouth crops live in HBM once
+    and batches are addressed by index, so the host sends only two tiny
+    int32 vectors per step. Masking is recomputed on device (a zeroed
+    rectangle costs nothing fused into the normalize).
+
+    Crops are stored and predictions returned FLAT, (N, size*size*3)
+    uint8: a trailing dim of 3 would be lane-padded to 128 in TPU tiled
+    layout, making the device<->host copy ~40x larger than the payload
+    (measured: 571ms vs 306ms per 128-frame batch over this tunnel).
+
+    fn(variables, crops_u8 (N, S) [resident], phys_idx (B,),
+       audio_feats (T,2,1024) [resident], feat_idx (B,)) -> (B, S) uint8
+    where S = size*size*3.
+    """
+    y0, y1 = crop.mask_y, crop.mask_y + crop.mask_h
+    x0, x1 = crop.mask_x, crop.mask_x + crop.mask_w
+    size = crop.size
+
+    @jax.jit
+    def fn(variables, crops_u8, phys_idx, audio_feats, feat_idx):
+        dtype = model.dtype or jnp.float32
+        ref = jnp.take(crops_u8, phys_idx, axis=0)
+        ref = ref.reshape(-1, size, size, 3).astype(dtype) / 255.0
+        masked = ref.at[:, y0:y1, x0:x1, :].set(0.0)
+        imgs = jnp.concatenate([ref, masked], axis=-1)
+        audio = batched_windows(audio_feats, feat_idx).astype(dtype)
+        pred = model.apply(variables, imgs, audio, train=False)
+        pred = (pred * 255.0).astype(jnp.uint8)
+        return pred.reshape(-1, size * size * 3)
 
     return fn
 
@@ -95,13 +131,26 @@ class FrameSynthesizer:
     def __init__(self, variables: dict, data_dir: str,
                  model: Optional[Generator] = None, batch_size: int = 8,
                  crop: CropConfig = CropConfig(),
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 max_cached_frames: int = 4000,
+                 preload: bool = True):
         """
         Args:
           variables: generator {'params','batch_stats'} (imported or trained)
           data_dir: step3 ``infer_data`` directory (frames/positions/masks)
           model: Generator module (default: bf16-free fp32 hubert model)
           batch_size: device batch; tails are padded to it
+          max_cached_frames: cache decoded frames + derived crops/masks per
+            physical frame up to this count (~1 MB/frame). The physical
+            clip repeats forever under the ping-pong walk, so everything
+            derived from (frame, landmarks) — crops, masked crops, the
+            dilated face-polygon mask — is computed exactly once.
+          preload: decode every physical frame up front and park the whole
+            speaker's mouth-crop array in device HBM (~75 KB/frame). Per
+            step the host then uploads only two int32 index vectors — the
+            device gathers its own inputs. This is the main lever against
+            host<->device bandwidth (SURVEY.md section 7 (5)); disable for
+            clips larger than max_cached_frames or latency-critical init.
         """
         self.data_dir = data_dir
         self.batch_size = batch_size
@@ -114,77 +163,50 @@ class FrameSynthesizer:
         self.model = model or Generator()
         self.variables = variables
         self._generate = make_generate_fn(self.model)
-        self.executor = ThreadPoolExecutor(max_workers=batch_size)
+        self._generate_resident = make_generate_resident_fn(self.model,
+                                                            crop)
+        self.executor = ThreadPoolExecutor(max_workers=max(4, batch_size))
         self.sequencer = PingPongSequencer(
             self.total_frames, np.random.default_rng(seed))
         self.last_logical_index = -1
+        self._cache: dict[int, dict] = {}
+        self._cache_enabled = self.total_frames <= max_cached_frames
+        self._crops_dev = None
+        if preload and self._cache_enabled and self.total_frames > 0:
+            self.preload()
 
-    # ---------------- data loading ----------------
+    # ---------------- per-physical-frame cache ----------------
 
-    def _load_single_frame(self, frame_idx: int):
-        n = str(frame_idx % self.total_frames).zfill(6)
+    def _build_entry(self, phys_idx: int) -> dict:
+        """Load one physical frame and precompute everything derived from
+        (frame, landmarks): model input crops and the dilated face-polygon
+        compositing mask. All of it is reused every time the ping-pong walk
+        revisits this frame."""
+        cfg = self.crop
+        n = str(phys_idx % self.total_frames).zfill(6)
         img = cv2.imread(os.path.join(self.frames_dir, f"{n}.jpg"))
         lms = np.loadtxt(os.path.join(self.positions_dir, f"{n}.txt"))
+        xseg = None
         mask_path = os.path.join(self.masks_dir, f"{n}.jpg")
-        mask = None
         if os.path.exists(mask_path):
             m = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
             if m is not None:
-                mask = m.astype(np.float32) / 255.0
-        return img, lms, mask
+                xseg = m.astype(np.float32) / 255.0
 
-    def _load_batch_frames(self, frame_indices):
-        futures = [self.executor.submit(self._load_single_frame, i)
-                   for i in frame_indices]
-        imgs, lms, masks = [], [], []
-        for f in futures:
-            i, l, m = f.result()
-            imgs.append(i)
-            lms.append(l)
-            masks.append(m)
-        return imgs, lms, masks
-
-    # ---------------- synthesis ----------------
-
-    def _prepare_inputs(self, batch_images, batch_landmarks):
-        """Host crop/mask prep. Returns (ref_u8, masked_u8, frame_meta)."""
-        cfg = self.crop
-        n = len(batch_images)
-        ref_u8 = np.zeros((self.batch_size, cfg.size, cfg.size, 3), np.uint8)
-        masked_u8 = np.zeros_like(ref_u8)
-        meta = []
-        for i in range(n):
-            img = batch_images[i]
-            lms = batch_landmarks[i]
-            h, w = img.shape[:2]
-            p = mouth_bbox_infer(lms, h, w)
-            crop_img = cv2.resize(img[p.ymin:p.ymax, p.xmin:p.xmax],
-                                  (cfg.resize, cfg.resize))
-            m = cfg.margin
-            real = crop_img[m:cfg.resize - m, m:cfg.resize - m]
-            ref_u8[i] = real
-            masked = real.copy()
-            masked[cfg.mask_y:cfg.mask_y + cfg.mask_h,
-                   cfg.mask_x:cfg.mask_x + cfg.mask_w] = 0
-            masked_u8[i] = masked
-            meta.append({"img": img, "lms": lms, "params": p,
-                         "crop168": crop_img})
-        return ref_u8, masked_u8, meta
-
-    def _paste_back(self, pred_u8: np.ndarray, meta: dict) -> np.ndarray:
-        """Composite one generated mouth into its full frame (reference
-        process_batch:263-349, pixel-exact incl. the uint8 truncation)."""
-        cfg = self.crop
-        img = meta["img"]
-        lms = meta["lms"]
-        p: CropParams = meta["params"]
-        crop_img = meta["crop168"].copy()
-        mask = meta.get("xseg_mask")
-
+        h, w = img.shape[:2]
+        p = mouth_bbox_infer(lms, h, w)
+        crop168 = cv2.resize(img[p.ymin:p.ymax, p.xmin:p.xmax],
+                             (cfg.resize, cfg.resize))
         m = cfg.margin
-        crop_img[m:cfg.resize - m, m:cfg.resize - m] = pred_u8
-        crop_img = cv2.resize(crop_img, (p.width, p.width))
+        real = np.ascontiguousarray(crop168[m:cfg.resize - m,
+                                            m:cfg.resize - m])
+        masked = real.copy()
+        masked[cfg.mask_y:cfg.mask_y + cfg.mask_h,
+               cfg.mask_x:cfg.mask_x + cfg.mask_w] = 0
 
+        # compositing mask (reference process_batch:279-315): face polygon
+        # scaled into the (width, width) paste square, area-proportional
+        # dilation, optional XSeg blend
         face_mask = np.zeros((p.ymax - p.ymin, p.xmax - p.xmin), np.uint8)
         pts = np.asarray(lms[:33], dtype=np.float64).copy()
         pts[:, 0] -= p.xmin
@@ -192,92 +214,163 @@ class FrameSynthesizer:
         pts[:, 0] *= p.width / (p.xmax - p.xmin)
         pts[:, 1] *= p.width / (p.ymax - p.ymin)
         cv2.fillPoly(face_mask, [pts.astype(np.int32)], 255)
-
         area = np.sum(face_mask > 0)
-        radius = np.sqrt(area / np.pi)
-        expand = max(1, int(radius * 0.15))
+        expand = max(1, int(np.sqrt(area / np.pi) * 0.15))
         kernel = np.ones((expand * 2 + 1, expand * 2 + 1), np.uint8)
         face_mask = cv2.dilate(face_mask, kernel, iterations=1)
+        fm = (face_mask.astype(np.float32) / 255.0)[..., None]
+        if xseg is not None:
+            rm = cv2.resize(xseg, (p.width, p.width))
+            fm = fm * rm[..., None]
 
-        fm3 = np.repeat((face_mask / 255.0)[..., None], 3, axis=2)
+        return {"img": img, "lms": lms, "params": p, "crop168": crop168,
+                "ref": real, "masked": masked, "fm": fm}
+
+    def _frame_entry(self, phys_idx: int) -> dict:
+        phys_idx = phys_idx % self.total_frames
+        if self._cache_enabled:
+            e = self._cache.get(phys_idx)
+            if e is None:
+                e = self._build_entry(phys_idx)
+                self._cache[phys_idx] = e
+            return e
+        return self._build_entry(phys_idx)
+
+    def _entries_for(self, seq):
+        return list(self.executor.map(self._frame_entry, seq))
+
+    def preload(self) -> None:
+        """Decode all physical frames and upload the crop store to HBM
+        (flat layout — see make_generate_resident_fn)."""
+        entries = self._entries_for(range(self.total_frames))
+        crops = np.stack([e["ref"].reshape(-1) for e in entries])
+        self._crops_dev = jax.device_put(crops)
+
+    # ---------------- synthesis ----------------
+
+    def _dispatch(self, entries, seq, feature_indices, audio_feats_dev):
+        """Stage inputs and start the device forward (async)."""
+        n = len(entries)
+        feat_idx = np.zeros((self.batch_size,), np.int32)
+        feat_idx[:n] = feature_indices
+        if self._crops_dev is not None:
+            phys_idx = np.zeros((self.batch_size,), np.int32)
+            phys_idx[:n] = [s % self.total_frames for s in seq]
+            return self._generate_resident(
+                self.variables, self._crops_dev, jnp.asarray(phys_idx),
+                audio_feats_dev, jnp.asarray(feat_idx))
+        cfg = self.crop
+        ref_u8 = np.zeros((self.batch_size, cfg.size, cfg.size, 3), np.uint8)
+        masked_u8 = np.zeros_like(ref_u8)
+        for i, e in enumerate(entries):
+            ref_u8[i] = e["ref"]
+            masked_u8[i] = e["masked"]
+        return self._generate(self.variables, jnp.asarray(ref_u8),
+                              jnp.asarray(masked_u8), audio_feats_dev,
+                              jnp.asarray(feat_idx))
+
+    def _paste_back(self, pred_u8: np.ndarray, entry: dict) -> np.ndarray:
+        """Composite one generated mouth into a copy of its full frame
+        (reference process_batch:263-349; blend in fp32)."""
+        cfg = self.crop
+        p: CropParams = entry["params"]
+        img = entry["img"].copy()
+        crop_img = entry["crop168"].copy()
+        m = cfg.margin
+        crop_img[m:cfg.resize - m, m:cfg.resize - m] = pred_u8
+        crop_img = cv2.resize(crop_img, (p.width, p.width))
 
         target = img[p.ymin:p.ymax, p.xmin:p.xmax]
         if crop_img.shape != target.shape:
             return img  # reference's shape-mismatch fallback (:317-324)
-        if mask is not None:
-            rm = cv2.resize(mask, (crop_img.shape[1], crop_img.shape[0]))
-            fm3 = fm3 * np.repeat(rm[..., None], 3, axis=2)
-        result = crop_img * fm3 + target * (1.0 - fm3)
+        fm = entry["fm"]
+        result = (crop_img.astype(np.float32) * fm
+                  + target.astype(np.float32) * (1.0 - fm))
         img[p.ymin:p.ymax, p.xmin:p.xmax] = result  # uint8 trunc-cast
         return img
 
-    def process_batch(self, batch_images, batch_landmarks, batch_masks,
-                      feature_indices, audio_feats_dev) -> list[np.ndarray]:
-        """One device batch end-to-end; returns full composited frames."""
-        try:
-            n = len(batch_images)
-            ref_u8, masked_u8, meta = self._prepare_inputs(
-                batch_images, batch_landmarks)
-            for md, xm in zip(meta, batch_masks):
-                md["xseg_mask"] = xm
-            idx = np.zeros((self.batch_size,), np.int32)
-            idx[:n] = feature_indices
-            preds = self._generate(self.variables, jnp.asarray(ref_u8),
-                                   jnp.asarray(masked_u8), audio_feats_dev,
-                                   jnp.asarray(idx))
-            preds = np.asarray(preds[:n])
-            out = []
-            for i in range(n):
-                try:
-                    out.append(self._paste_back(preds[i], meta[i]))
-                except Exception:
-                    out.append(batch_images[i])  # per-frame fallback
-            return out
-        except Exception as e:  # batch-level fallback (reference :352-357)
-            print(f"frame batch processing failed: {e}")
-            return batch_images
+    def _composite_batch(self, preds_dev, entries) -> list[np.ndarray]:
+        if preds_dev is None:
+            return [e["img"].copy() for e in entries]
+        cfg = self.crop
+        preds = np.asarray(preds_dev)[:len(entries)]  # blocks on d2h
+        preds = preds.reshape(-1, cfg.size, cfg.size, 3)
+        out = []
+        for i, e in enumerate(entries):
+            try:
+                out.append(self._paste_back(preds[i], e))
+            except Exception:
+                out.append(e["img"].copy())  # per-frame fallback
+        return out
 
     def iterate_synthesized_frames(
             self, features: np.ndarray, start_frame_idx: int = 0,
             is_generate_sync_frame: bool = True) -> Iterator[Dict]:
         """Yield {'frame','index','physical_index'} dicts for each output
-        frame driven by the HuBERT features (reference :359-451)."""
+        frame driven by the HuBERT features (reference :359-451).
+
+        Three-stage software pipeline, depth 2: the main thread dispatches
+        device batches (async under jit); worker threads block on the d2h
+        copy and composite; results are yielded strictly in order. While
+        the TPU computes batch k and its predictions stream back over the
+        interconnect, the host CPU composites batch k-1."""
         self.last_logical_index = start_frame_idx - 1
-        stats = {"load_frame": 0.0, "get_audio": 0.0, "process_batch": 0.0}
+        stats = {"load_frame": 0.0, "process_batch": 0.0}
         total = len(features)
-        feats_dev = jnp.asarray(np.ascontiguousarray(features,
-                                                     dtype=np.float32))
+        # Bucket the feature length: T is a static shape under jit, so
+        # padding to a multiple keeps one compiled executable per bucket
+        # instead of one per clip length. Zero rows are exactly the
+        # reference's edge padding, and indices past `total` are never
+        # requested, so results are unchanged.
+        bucket = 256
+        padded_t = max(bucket, -(-total // bucket) * bucket)
+        feats = np.zeros((padded_t,) + features.shape[1:], np.float32)
+        feats[:total] = features
+        feats_dev = jnp.asarray(feats)
+        from collections import deque
+
+        inflight: deque = deque()  # (future -> frames, seq)
+        t_start = time.time()
+
+        def emit(frames, seq):
+            for frame, phys in zip(frames, seq):
+                self.last_logical_index += 1
+                yield {"frame": frame, "index": self.last_logical_index,
+                       "physical_index": phys}
+
         try:
             for start in range(0, total, self.batch_size):
                 end = min(start + self.batch_size, total)
                 seq = self.sequencer.next(end - start)
 
                 t0 = time.time()
-                imgs, lms, masks = self._load_batch_frames(seq)
+                entries = self._entries_for(seq)
                 stats["load_frame"] += time.time() - t0
 
                 if not is_generate_sync_frame:
-                    for i, orig in enumerate(imgs):
-                        self.last_logical_index += 1
-                        yield {"frame": orig,
-                               "index": self.last_logical_index,
-                               "physical_index": seq[i]}
+                    yield from emit([e["img"].copy() for e in entries], seq)
                     continue
 
-                t0 = time.time()
-                frames = self.process_batch(imgs, lms, masks,
-                                            list(range(start, end)),
-                                            feats_dev)
-                stats["process_batch"] += time.time() - t0
-
-                for i, frame in enumerate(frames):
-                    self.last_logical_index += 1
-                    yield {"frame": frame,
-                           "index": self.last_logical_index,
-                           "physical_index": seq[i]}
+                try:
+                    preds = self._dispatch(entries, seq,
+                                           list(range(start, end)),
+                                           feats_dev)
+                except Exception as e:  # batch fallback (reference :352-357)
+                    print(f"frame batch dispatch failed: {e}")
+                    preds = None
+                inflight.append((self.executor.submit(
+                    self._composite_batch, preds, entries), seq))
+                while len(inflight) > 2:
+                    fut, s = inflight.popleft()
+                    yield from emit(fut.result(), s)
+            while inflight:
+                fut, s = inflight.popleft()
+                yield from emit(fut.result(), s)
         finally:
-            t = sum(stats.values())
-            if t > 0:
+            stats["process_batch"] = time.time() - t_start - \
+                stats["load_frame"]
+            t = time.time() - t_start
+            if t > 0 and total:
                 print(f"synthesis: {total / t:.2f} fps "
                       f"(load {stats['load_frame']:.2f}s, "
                       f"generate+paste {stats['process_batch']:.2f}s)")

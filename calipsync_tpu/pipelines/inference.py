@@ -54,8 +54,9 @@ class VideoStreamManager:
 
         if tmp_video is None:
             raise RuntimeError("no frames generated")
-        subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", tmp_video,
-                        "-i", audio_path, "-c:v", "copy", "-c:a", "aac",
-                        "-shortest", output_path], check=True)
+        from calipsync_tpu.audio.io import mux_audio
+
+        side_car = mux_audio(tmp_video, audio_path, output_path)
         os.remove(tmp_video)
-        return {"frames": n, "output": output_path}
+        return {"frames": n, "output": output_path,
+                "audio_side_car": side_car}

@@ -108,20 +108,35 @@ class TrainPreprocessor:
             if ref:
                 shutil.copy2(ref, path)
 
-    def process_video(self, video_path: str, output_dir: str) -> dict:
+    def process_video(self, video_path: str, output_dir: str,
+                      audio_path: Optional[str] = None) -> dict:
+        """``audio_path``: optional side-car wav with the video's audio
+        track. Without ffmpeg on the host, cv2 cannot demux audio from the
+        container, so a side-car (or a .wav next to the video) is required;
+        with ffmpeg present it is extracted automatically."""
         os.makedirs(output_dir, exist_ok=True)
         for d in ("landmarks", "faces", "full_body_img"):
             os.makedirs(os.path.join(output_dir, d), exist_ok=True)
 
         # --- audio ---
-        audio_path = os.path.join(output_dir, "aud.wav")
-        subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", video_path,
-                        "-vn", "-acodec", "pcm_s16le", "-ar", "16000",
-                        "-ac", "1", audio_path], check=True)
-        from scipy.io import wavfile
+        from calipsync_tpu.audio.io import (extract_wav, have_ffmpeg,
+                                            load_audio, save_wav)
 
-        sr, audio_i16 = wavfile.read(audio_path)
-        audio = audio_i16.astype(np.float32) / 32768.0
+        out_wav = os.path.join(output_dir, "aud.wav")
+        if audio_path is None:
+            side_car = os.path.splitext(video_path)[0] + ".wav"
+            if os.path.exists(side_car):
+                audio_path = side_car
+            elif have_ffmpeg():
+                extract_wav(video_path, out_wav)
+                audio_path = out_wav
+            else:
+                raise RuntimeError(
+                    "no ffmpeg on host: provide audio_path= or a .wav "
+                    "side-car next to the video")
+        audio = load_audio(audio_path, 16_000)
+        if os.path.abspath(audio_path) != os.path.abspath(out_wav):
+            save_wav(out_wav, audio, 16_000)
         if frame_rms_db(audio) < self.min_db:
             raise RuntimeError("audio level too low: no speaker detected")
 

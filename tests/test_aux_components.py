@@ -1,0 +1,155 @@
+"""SyncNet, audio slicer, video normalizer, export, profiling, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------- SyncNet ----------------
+
+def test_syncnet_matches_reference(reference_path):
+    import sys
+
+    import torch
+
+    sys.path.insert(0, str(reference_path))
+    from module.syncnet import SyncNet_color
+
+    from calipsync_tpu.nn.syncnet import SyncNet, import_syncnet
+
+    ref = SyncNet_color("hubert").eval()
+    torch.manual_seed(0)
+    sd = ref.state_dict()
+    g = torch.Generator().manual_seed(1)
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.3
+        elif not k.endswith("num_batches_tracked"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    ref.load_state_dict(sd)
+
+    rng = np.random.default_rng(0)
+    face = rng.random((2, 3, 160, 160), dtype=np.float32)
+    audio = rng.random((2, 32, 32, 32), dtype=np.float32)
+    with torch.no_grad():
+        ref_a, ref_f = ref(torch.from_numpy(face), torch.from_numpy(audio))
+
+    variables = import_syncnet(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    model = SyncNet(mode="hubert", pool="flatten")
+    a, f = jax.jit(lambda v, x, y: model.apply(v, x, y, train=False))(
+        variables, jnp.asarray(face.transpose(0, 2, 3, 1)),
+        jnp.asarray(audio.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(a), ref_a.numpy(), rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f), ref_f.numpy(), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_syncnet_param_count():
+    """BASELINE.md: 26.34M params (verified)."""
+    from calipsync_tpu.nn.syncnet import SyncNet
+
+    model = SyncNet(mode="hubert")
+    v = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 160, 160, 3)),
+                            jnp.zeros((1, 32, 32, 32)))
+    n = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert abs(n - 26_340_000) / 26_340_000 < 0.01, n
+
+
+def test_syncnet_trainer_steps(synthetic_step1_dir, tmp_path):
+    from calipsync_tpu.train.syncnet_trainer import train_sync_net
+
+    it = train_sync_net(str(tmp_path / "sync"), str(synthetic_step1_dir),
+                        batch_size=4, epochs=1)
+    seen = list(it)
+    assert len(seen) == -(-25 // 4)  # n_batches
+    _, total, e, epochs, loss, best, _ = seen[-1]
+    assert np.isfinite(loss) and best <= loss + 1e-6
+    assert os.path.isdir(tmp_path / "sync" / "best")
+    assert os.path.isdir(tmp_path / "sync" / "last")
+
+
+# ---------------- slicer / normalizer ----------------
+
+def test_audio_slicer_vad(tmp_path):
+    from calipsync_tpu.audio.io import save_wav
+    from calipsync_tpu.audio.slicer import process_and_split_audio
+
+    sr = 16_000
+    rng = np.random.default_rng(0)
+    # 14 s: speech (noise bursts) separated by silence
+    audio = np.zeros(sr * 14, np.float32)
+    for start in (1.0, 5.0, 9.0):
+        s = int(start * sr)
+        audio[s:s + sr * 3] = rng.standard_normal(sr * 3) * 0.3
+    path = str(tmp_path / "long.wav")
+    save_wav(path, audio, sr)
+
+    segs = process_and_split_audio(path, str(tmp_path / "out"),
+                                   min_seconds=5, max_seconds=12)
+    assert len(segs) >= 1
+    for i, (s, e, text) in enumerate(segs):
+        assert e - s >= 5.0
+        assert os.path.exists(tmp_path / "out" / f"{i}.wav")
+        assert os.path.exists(tmp_path / "out" / f"{i}.txt")
+
+
+def test_video_normalizer():
+    from calipsync_tpu.vision.normalize import process_frame
+
+    wide = np.zeros((720, 1920, 3), np.uint8)
+    out = process_frame(wide)
+    assert out.shape == (1280, 720, 3)
+    tall = np.zeros((2000, 500, 3), np.uint8)
+    assert process_frame(tall).shape == (1280, 720, 3)
+
+
+# ---------------- export / profiling ----------------
+
+def test_stablehlo_export_parity(tmp_path):
+    from calipsync_tpu.export import check_export_parity
+
+    def fn(w, x):
+        return jnp.tanh(x @ w) * 2.0
+
+    w = jnp.asarray(np.random.default_rng(0).random((8, 4), np.float32))
+    x = jnp.asarray(np.random.default_rng(1).random((3, 8), np.float32))
+    check_export_parity(fn, (w, x), tmp_path / "fn.stablehlo")
+
+
+def test_stage_timer():
+    from calipsync_tpu.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert "a:" in t.report()
+
+
+def test_generator_cost_flops():
+    from calipsync_tpu.profiling import generator_cost
+
+    c = generator_cost(batch=1)
+    # reference thop: 4.08 G MACs == ~8.2 GFLOPs (allow XLA fusion slack)
+    assert 4.0 < c["gflops"] < 12.0, c["gflops"]
+
+
+# ---------------- CLI ----------------
+
+def test_cli_parses_all_subcommands():
+    from calipsync_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["step1", "--help"])
+    with pytest.raises(SystemExit):
+        main([])  # missing subcommand

@@ -61,6 +61,23 @@ def test_synthesizer_end_to_end(synthetic_step3_dir, gen_variables):
     np.testing.assert_array_equal(raw[0]["frame"], src)
 
 
+def test_resident_path_matches_streaming_path(synthetic_step3_dir,
+                                              gen_variables):
+    """Device-resident crop-store generate == per-batch upload generate."""
+    model, variables = gen_variables
+    feats = np.random.default_rng(5).standard_normal(
+        (8, 2, 1024)).astype(np.float32)
+    a = FrameSynthesizer(variables, str(synthetic_step3_dir), model=model,
+                         batch_size=4, seed=11, preload=True)
+    b = FrameSynthesizer(variables, str(synthetic_step3_dir), model=model,
+                         batch_size=4, seed=11, preload=False)
+    assert a._crops_dev is not None and b._crops_dev is None
+    fa = [it["frame"] for it in a.iterate_synthesized_frames(feats)]
+    fb = [it["frame"] for it in b.iterate_synthesized_frames(feats)]
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_composite_touches_only_face_region(synthetic_step3_dir,
                                             gen_variables):
     import cv2
