@@ -61,7 +61,7 @@ def main() -> None:
 
     enable_compile_cache()
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bfloat16")]
     n_features = int(os.environ.get("BENCH_FRAMES", "512"))
