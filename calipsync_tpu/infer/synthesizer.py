@@ -271,23 +271,21 @@ class FrameSynthesizer:
 
     def _paste_back(self, pred_u8: np.ndarray, entry: dict) -> np.ndarray:
         """Composite one generated mouth into a copy of its full frame
-        (reference process_batch:263-349; blend in fp32)."""
+        (reference process_batch:263-349; fused native blend when the C++
+        runtime is built, numpy fp32 otherwise — same truncating cast)."""
+        from calipsync_tpu.native_ext import composite_frame
+
         cfg = self.crop
         p: CropParams = entry["params"]
-        img = entry["img"].copy()
         crop_img = entry["crop168"].copy()
         m = cfg.margin
         crop_img[m:cfg.resize - m, m:cfg.resize - m] = pred_u8
         crop_img = cv2.resize(crop_img, (p.width, p.width))
 
-        target = img[p.ymin:p.ymax, p.xmin:p.xmax]
-        if crop_img.shape != target.shape:
-            return img  # reference's shape-mismatch fallback (:317-324)
-        fm = entry["fm"]
-        result = (crop_img.astype(np.float32) * fm
-                  + target.astype(np.float32) * (1.0 - fm))
-        img[p.ymin:p.ymax, p.xmin:p.xmax] = result  # uint8 trunc-cast
-        return img
+        if crop_img.shape[:2] != (p.ymax - p.ymin, p.xmax - p.xmin):
+            return entry["img"].copy()  # shape-mismatch fallback (:317-324)
+        return composite_frame(entry["img"], crop_img,
+                               entry["fm"][..., 0], p.ymin, p.xmin)
 
     def _composite_batch(self, preds_dev, entries) -> list[np.ndarray]:
         if preds_dev is None:
