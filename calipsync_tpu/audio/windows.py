@@ -47,21 +47,31 @@ def window_nhwc_np(features: np.ndarray, index: int) -> np.ndarray:
     return pack_nhwc_np(window_rows_np(features, index).astype(np.float32))
 
 
-def batched_windows(features: jax.Array, indices: jax.Array) -> jax.Array:
+def batched_windows(features: jax.Array, indices: jax.Array,
+                    mode: str = "hubert") -> jax.Array:
     """Device-side batch windowing (jittable).
 
     Args:
-      features: (T, 2, 1024) fp32 HuBERT features (whole clip on device).
+      features: (T, ...) fp32 features (whole clip on device) — HuBERT
+        (T, 2, 1024) or WeNet rows with 8192 values each.
       indices:  (B,) int32 frame indices.
+      mode: 'hubert' -> (B, 32, 32, 32) NHWC; 'wenet' -> (B, 16, 32, 256)
+        NHWC (the reference's (256,16,32) NCHW reshape,
+        dataset/dataset.py:173-176, channels-last).
     Returns:
-      (B, 32, 32, 32) NHWC audio windows, zero-padded at clip edges.
+      Audio windows, zero-padded at clip edges.
     """
     t = features.shape[0]
-    flat = features.reshape(t, 2048)
+    flat = features.reshape(t, -1)
     offs = jnp.arange(WINDOW, dtype=jnp.int32) - 8
     rows = indices[:, None].astype(jnp.int32) + offs[None, :]  # (B, 16)
     valid = (rows >= 0) & (rows < t)
-    gathered = jnp.take(flat, jnp.clip(rows, 0, t - 1), axis=0)  # (B,16,2048)
+    gathered = jnp.take(flat, jnp.clip(rows, 0, t - 1), axis=0)  # (B,16,F)
     gathered = jnp.where(valid[..., None], gathered, 0.0)
-    nchw = gathered.reshape(-1, 32, 32, 32)  # (B, C, H, W)
+    if mode == "hubert":
+        nchw = gathered.reshape(-1, 32, 32, 32)  # (B, C, H, W)
+    elif mode == "wenet":
+        nchw = gathered.reshape(-1, 256, 16, 32)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
     return jnp.transpose(nchw, (0, 2, 3, 1))

@@ -49,7 +49,8 @@ def make_generate_fn(model: Generator):
         dtype = model.dtype or jnp.float32
         imgs = jnp.concatenate([ref_u8, masked_u8], axis=-1)
         imgs = imgs.astype(dtype) / 255.0
-        audio = batched_windows(audio_feats, indices).astype(dtype)
+        audio = batched_windows(audio_feats, indices,
+                                mode=model.mode).astype(dtype)
         pred = model.apply(variables, imgs, audio, train=False)
         # reference quantization: float*255 -> uint8 C-cast (truncation);
         # flat return for fast d2h (see make_generate_resident_fn)
@@ -85,7 +86,8 @@ def make_generate_resident_fn(model: Generator, crop: CropConfig):
         ref = ref.reshape(-1, size, size, 3).astype(dtype) / 255.0
         masked = ref.at[:, y0:y1, x0:x1, :].set(0.0)
         imgs = jnp.concatenate([ref, masked], axis=-1)
-        audio = batched_windows(audio_feats, feat_idx).astype(dtype)
+        audio = batched_windows(audio_feats, feat_idx,
+                                mode=model.mode).astype(dtype)
         pred = model.apply(variables, imgs, audio, train=False)
         pred = (pred * 255.0).astype(jnp.uint8)
         return pred.reshape(-1, size * size * 3)

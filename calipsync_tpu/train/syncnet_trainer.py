@@ -84,9 +84,7 @@ def train_sync_net(save_dir: str, dataset_dir: str, mode: str = "hubert",
 
     @jax.jit
     def step(params, batch_stats, opt_state, face_u8, idx):
-        audio = batched_windows(feats, idx)
-        if mode == "wenet":
-            audio = audio  # wenet windows arrive pre-shaped upstream
+        audio = batched_windows(feats, idx, mode=mode)
         face = face_u8.astype(jnp.float32) / 255.0
         y = jnp.ones((face.shape[0],), jnp.float32)
 

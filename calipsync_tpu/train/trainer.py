@@ -88,8 +88,8 @@ def make_train_step(model: Generator, tx: optax.GradientTransformation,
         imgs = jnp.concatenate([batch["ref"], batch["masked"]], axis=-1)
         imgs = imgs.astype(compute_dtype) / 255.0
         labels = batch["target"].astype(jnp.float32) / 255.0
-        audio = batched_windows(audio_feats, batch["index"]).astype(
-            compute_dtype)
+        audio = batched_windows(audio_feats, batch["index"],
+                                mode=model.mode).astype(compute_dtype)
 
         def loss_fn(params):
             pred, updates = model.apply(
