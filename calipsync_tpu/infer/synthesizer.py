@@ -95,6 +95,41 @@ def make_generate_resident_fn(model: Generator, crop: CropConfig):
     return fn
 
 
+def make_generate_resident_sharded_fn(model: Generator, crop: CropConfig,
+                                      mesh, axis_name: str = "data"):
+    """Multi-chip variant of :func:`make_generate_resident_fn`: the batch
+    (phys_idx/feat_idx and the returned predictions) is sharded over the
+    mesh's data axis while the crop store, audio features and params are
+    replicated — frame windows fan out across chips over ICI and only the
+    uint8 predictions come home (the north-star multi-stream serving
+    sharding; reference has no equivalent, SURVEY.md section 2).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    y0, y1 = crop.mask_y, crop.mask_y + crop.mask_h
+    x0, x1 = crop.mask_x, crop.mask_x + crop.mask_w
+    size = crop.size
+
+    def shard_fn(variables, crops_u8, phys_idx, audio_feats, feat_idx):
+        dtype = model.dtype or jnp.float32
+        ref = jnp.take(crops_u8, phys_idx, axis=0)
+        ref = ref.reshape(-1, size, size, 3).astype(dtype) / 255.0
+        masked = ref.at[:, y0:y1, x0:x1, :].set(0.0)
+        imgs = jnp.concatenate([ref, masked], axis=-1)
+        audio = batched_windows(audio_feats, feat_idx,
+                                mode=model.mode).astype(dtype)
+        pred = model.apply(variables, imgs, audio, train=False)
+        pred = (pred * 255.0).astype(jnp.uint8)
+        return pred.reshape(-1, size * size * 3)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 class PingPongSequencer:
     """Physical-frame walk (reference _generate_frame_sequence:147-190)."""
 
@@ -135,7 +170,8 @@ class FrameSynthesizer:
                  crop: CropConfig = CropConfig(),
                  seed: Optional[int] = None,
                  max_cached_frames: int = 4000,
-                 preload: bool = True):
+                 preload: bool = True,
+                 mesh=None, axis_name: str = "data"):
         """
         Args:
           variables: generator {'params','batch_stats'} (imported or trained)
@@ -153,6 +189,9 @@ class FrameSynthesizer:
             device gathers its own inputs. This is the main lever against
             host<->device bandwidth (SURVEY.md section 7 (5)); disable for
             clips larger than max_cached_frames or latency-critical init.
+          mesh: optional jax Mesh — shards each batch's frame windows over
+            the ``axis_name`` devices (multi-chip serving). Requires
+            preload and batch_size divisible by the mesh size.
         """
         self.data_dir = data_dir
         self.batch_size = batch_size
@@ -164,9 +203,24 @@ class FrameSynthesizer:
                                  if f.endswith(".jpg")])
         self.model = model or Generator()
         self.variables = variables
+        self.mesh = mesh
+        self._replicate = lambda x: x
         self._generate = make_generate_fn(self.model)
-        self._generate_resident = make_generate_resident_fn(self.model,
-                                                            crop)
+        if mesh is not None:
+            if not preload:
+                raise ValueError("mesh sharding requires preload=True")
+            if batch_size % mesh.shape[axis_name]:
+                raise ValueError("batch_size must divide over the mesh")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._replicate = lambda x: jax.device_put(x, rep)
+            self.variables = jax.tree.map(self._replicate, variables)
+            self._generate_resident = make_generate_resident_sharded_fn(
+                self.model, crop, mesh, axis_name)
+        else:
+            self._generate_resident = make_generate_resident_fn(self.model,
+                                                                crop)
         self.executor = ThreadPoolExecutor(max_workers=max(4, batch_size))
         self.sequencer = PingPongSequencer(
             self.total_frames, np.random.default_rng(seed))
@@ -246,7 +300,8 @@ class FrameSynthesizer:
         (flat layout — see make_generate_resident_fn)."""
         entries = self._entries_for(range(self.total_frames))
         crops = np.stack([e["ref"].reshape(-1) for e in entries])
-        self._crops_dev = jax.device_put(crops)
+        self._crops_dev = (self._replicate(crops) if self.mesh is not None
+                           else jax.device_put(crops))
 
     # ---------------- synthesis ----------------
 
@@ -326,7 +381,8 @@ class FrameSynthesizer:
         padded_t = max(bucket, -(-total // bucket) * bucket)
         feats = np.zeros((padded_t,) + features.shape[1:], np.float32)
         feats[:total] = features
-        feats_dev = jnp.asarray(feats)
+        feats_dev = (self._replicate(feats) if self.mesh is not None
+                     else jnp.asarray(feats))
         from collections import deque
 
         inflight: deque = deque()  # (future -> frames, seq)

@@ -78,6 +78,26 @@ def test_resident_path_matches_streaming_path(synthetic_step3_dir,
         np.testing.assert_array_equal(x, y)
 
 
+def test_mesh_sharded_synthesis_matches_single_device(synthetic_step3_dir,
+                                                      gen_variables):
+    """Frame windows sharded over an 8-device mesh == single-device run."""
+    from calipsync_tpu.core.mesh import make_mesh
+
+    model, variables = gen_variables
+    feats = np.random.default_rng(9).standard_normal(
+        (12, 2, 1024)).astype(np.float32)
+    single = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                              model=model, batch_size=8, seed=4)
+    sharded = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                               model=model, batch_size=8, seed=4,
+                               mesh=make_mesh())
+    fa = [it["frame"] for it in single.iterate_synthesized_frames(feats)]
+    fb = [it["frame"] for it in sharded.iterate_synthesized_frames(feats)]
+    assert len(fa) == len(fb) == 12
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_composite_touches_only_face_region(synthetic_step3_dir,
                                             gen_variables):
     import cv2
