@@ -60,6 +60,53 @@ def test_cross_attention_grads_match_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,stride", [
+    ((2, 160, 160, 12), 1),   # InConvDw depthwise (expand 6*2)
+    ((2, 80, 80, 64), 2),     # Down stage
+    ((1, 10, 10, 1024), 1),   # fuse_conv stage
+    ((1, 32, 32, 64), 1),     # audio encoder
+    ((1, 21, 33, 40), 2),     # odd spatial + non-aligned channels
+])
+def test_depthwise3x3_matches_xla(shape, stride):
+    from calipsync_tpu.kernels.depthwise import (depthwise3x3,
+                                                 depthwise3x3_reference)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    c = shape[-1]
+    k = jnp.asarray(rng.standard_normal((3, 3, c)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+
+    out = depthwise3x3(x, k, s, b, stride=stride)
+    ref = depthwise3x3_reference(x, k, s, b, stride=stride)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_fold_bn_matches_batchnorm():
+    from calipsync_tpu.kernels.depthwise import (depthwise3x3_reference,
+                                                 fold_bn)
+
+    rng = np.random.default_rng(1)
+    c = 16
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, c)).astype(np.float32))
+    bn_p = {"scale": rng.standard_normal(c).astype(np.float32),
+            "bias": rng.standard_normal(c).astype(np.float32)}
+    bn_s = {"mean": rng.standard_normal(c).astype(np.float32),
+            "var": (rng.random(c) + 0.5).astype(np.float32)}
+    s, b = fold_bn(bn_p, bn_s)
+    fused = depthwise3x3_reference(x, k, s, b, apply_act=False)
+
+    conv = depthwise3x3_reference(x, k, apply_act=False)
+    manual = ((np.asarray(conv) - bn_s["mean"])
+              / np.sqrt(bn_s["var"] + 1e-5) * bn_p["scale"] + bn_p["bias"])
+    np.testing.assert_allclose(np.asarray(fused), manual, rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_generator_with_pallas_attention_matches_xla_impl():
     """Full generator forward: attn_impl='pallas' == attn_impl='xla'."""
     from calipsync_tpu.nn.unet import Generator
