@@ -190,6 +190,45 @@ class PFLDGhostOne(nn.Module):
         return out.astype(jnp.float32)
 
 
+class AuxiliaryNet(nn.Module):
+    """FPN auxiliary head used when training PFLD (reference
+    pfld_mobileone.py:252-286): 1x1 laterals at four backbone stages,
+    top-down nearest upsampling with 3x3 merges, 1-channel output map.
+    Conv-BN-ReLU blocks without bias (Conv_Block, base_module.py:12-17).
+    """
+
+    width: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    def _cbr(self, x, feats, k, name, train):
+        pad = k // 2
+        y = nn.Conv(feats, (k, k), padding=((pad, pad), (pad, pad)),
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"{name}_conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"{name}_bn")(y)
+        return jax.nn.relu(y)
+
+    @nn.compact
+    def __call__(self, out1, out2, out3, out4, train: bool = False):
+        w = int(64 * self.width)
+        o1 = self._cbr(out1, w, 1, "conv1", train)
+        o2 = self._cbr(out2, w, 1, "conv2", train)
+        o3 = self._cbr(out3, w, 1, "conv3", train)
+        o4 = self._cbr(out4, w, 1, "conv4", train)
+
+        def up_to(x, ref):
+            b, h, w_, c = x.shape
+            rh, rw = ref.shape[1], ref.shape[2]
+            return jax.image.resize(x, (b, rh, rw, c), method="nearest")
+
+        o3 = self._cbr(o3 + up_to(o4, o3), w, 3, "merge3", train)
+        o2 = self._cbr(o2 + up_to(o3, o2), w, 3, "merge2", train)
+        o1 = self._cbr(o1 + up_to(o2, o1), w, 3, "merge1", train)
+        return self._cbr(o1, 1, 1, "conv_out", train)
+
+
 # ---------------------------------------------------------------------------
 # Reparameterization: fold multi-branch params -> deploy params
 # ---------------------------------------------------------------------------
