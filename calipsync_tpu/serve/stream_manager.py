@@ -215,13 +215,20 @@ class StreamingVideoManager:
                     if not self.is_interrupt:
                         current_path = self.silence_audio_path
 
+                from calipsync_tpu.metrics import global_metrics
+
+                m = global_metrics()
                 feats = np.stack([b.hubert_feature for b in batch])
-                for i, info in enumerate(
-                        self.synthesizer.iterate_synthesized_frames(
-                            feats, last_frame_index, sync)):
-                    if i < len(batch):
-                        info["audio"] = batch[i].original_audio_chunk
-                        self.player.upload_frame(info)
+                with m.time("serve.synthesis_window"):
+                    for i, info in enumerate(
+                            self.synthesizer.iterate_synthesized_frames(
+                                feats, last_frame_index, sync)):
+                        if i < len(batch):
+                            info["audio"] = batch[i].original_audio_chunk
+                            self.player.upload_frame(info)
+                            m.count("serve.frames")
+                m.gauge("serve.player_buffer",
+                        self.player.get_queue_length())
             except Exception as e:
                 print(f"stream producer error: {e}")
                 traceback.print_exc()
