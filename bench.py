@@ -15,7 +15,6 @@ BENCH_RES (source video resolution, default 480).
 
 import json
 import os
-import sys
 import tempfile
 import time
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 
 def build_lip_detector(weights_dir: str, dtype=None):
@@ -61,8 +60,6 @@ def load_generator_variables(ckpt_path: str, cfg):
                                 mode=cfg.model.mode,
                                 n_blocks=cfg.model.n_blocks)
     # Orbax TrainState checkpoint
-    import jax.numpy as jnp
-
     from calipsync_tpu.train.trainer import (adam, build_model,
                                              create_train_state)
 

@@ -25,7 +25,7 @@ import concurrent.futures as cf
 import os
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import cv2
 import numpy as np

@@ -9,7 +9,6 @@ serving-path hot spot (single fused pass instead of numpy temporaries).
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import shutil
 import subprocess

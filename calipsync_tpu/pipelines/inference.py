@@ -9,12 +9,10 @@ the source audio.
 from __future__ import annotations
 
 import os
-import subprocess
 import tempfile
 from typing import Optional
 
 import cv2
-import numpy as np
 
 from calipsync_tpu.infer.synthesizer import FrameSynthesizer
 

@@ -23,8 +23,9 @@ from calipsync_tpu.core.weights import import_generator, load_torch_state_dict
 from calipsync_tpu.data.dataset import (LipSyncDataset, Prefetcher,
                                         batch_iterator)
 from calipsync_tpu.nn.vgg import VGG19Features, import_vgg19_features
-from calipsync_tpu.train.trainer import (TrainState, adam, build_model,
-                                         create_train_state, make_train_step)
+from calipsync_tpu.train.trainer import (adam, build_model,
+                                         create_train_state,
+                                         make_train_step)
 
 
 def load_vgg_variables(vgg_path: Optional[str]):
@@ -62,8 +63,8 @@ def train_digital_model(dataset_dir: str, save_dir: str,
                                init_variables)
     start_epoch = 0
     if resume and ckpt.latest_step(save_dir) is not None:
+        start_epoch = ckpt.latest_step(save_dir)  # checkpoints keyed by epoch
         state = ckpt.restore_checkpoint(save_dir, state)
-        start_epoch = int(state.step)  # steps stored as epochs boundary info
 
     vgg_variables = load_vgg_variables(vgg_path)
     use_perceptual = vgg_variables is not None

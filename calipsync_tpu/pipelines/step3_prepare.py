@@ -15,7 +15,6 @@ consumed by infer/synthesizer.py:
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import cv2
 import numpy as np

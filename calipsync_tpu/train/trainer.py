@@ -17,7 +17,6 @@ Replaces the reference's single-GPU torch loop
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax

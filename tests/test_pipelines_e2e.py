@@ -129,6 +129,30 @@ def test_full_pipeline(synthetic_video, tmp_path):
     assert os.path.getsize(tmp_path / "out.mp4") > 0
 
 
+def test_train_resume(synthetic_step1_dir, tmp_path):
+    """checkpoint_every + resume: a restarted run continues from the saved
+    epoch instead of repeating or skipping (checkpoints are keyed by
+    epoch, not optimizer step)."""
+    from calipsync_tpu.core import checkpoint as ckpt
+    from calipsync_tpu.pipelines.step2_train import train_digital_model
+
+    cfg = PipelineConfig(
+        train=TrainConfig(batch_size=4, epochs=2, num_workers=2,
+                          perceptual_weight=0.0, checkpoint_every=1),
+        mesh=MeshConfig(data=4))
+    save = str(tmp_path / "ckpt")
+    # run only epoch 1 (epochs=1), then resume with epochs=2
+    cfg1 = PipelineConfig(train=TrainConfig(
+        batch_size=4, epochs=1, num_workers=2, perceptual_weight=0.0,
+        checkpoint_every=1), mesh=MeshConfig(data=4))
+    train_digital_model(str(synthetic_step1_dir), save, cfg=cfg1,
+                        log_every=0)
+    assert ckpt.latest_step(save) == 1
+    train_digital_model(str(synthetic_step1_dir), save, cfg=cfg,
+                        resume=True, log_every=0)
+    assert ckpt.latest_step(save) == 2
+
+
 def test_clone_orchestrator(synthetic_video, tmp_path):
     from calipsync_tpu.pipelines.all_pipeline import clone_video_local
 
