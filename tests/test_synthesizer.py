@@ -98,6 +98,28 @@ def test_mesh_sharded_synthesis_matches_single_device(synthetic_step3_dir,
         np.testing.assert_array_equal(x, y)
 
 
+def test_bf16_serving_fidelity_vs_fp32(synthetic_step3_dir, gen_variables):
+    """The bf16 serving path stays visually lossless vs fp32 (>35 dB PSNR
+    on composited frames; BASELINE parity is measured at fp32)."""
+    import jax.numpy as jnp2
+
+    from calipsync_tpu.eval import batch_psnr
+
+    _, variables = gen_variables
+    feats = np.random.default_rng(21).standard_normal(
+        (6, 2, 1024)).astype(np.float32)
+    f32 = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                           model=Generator(dtype=jnp2.float32),
+                           batch_size=4, seed=2)
+    bf16 = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                            model=Generator(dtype=jnp2.bfloat16),
+                            batch_size=4, seed=2)
+    fa = [it["frame"] for it in f32.iterate_synthesized_frames(feats)]
+    fb = [it["frame"] for it in bf16.iterate_synthesized_frames(feats)]
+    scores = batch_psnr(np.stack(fa), np.stack(fb))
+    assert scores.min() > 35.0, scores
+
+
 def test_composite_touches_only_face_region(synthetic_step3_dir,
                                             gen_variables):
     import cv2
