@@ -101,6 +101,17 @@ class HubertFeatureExtractor:
         t = feats.shape[0] - (feats.shape[0] % 2)
         return feats[:t].reshape(-1, 2, self.config.hidden_size)
 
+    def extract_auto(self, speech_16k: np.ndarray) -> np.ndarray:
+        """One-pass for clips up to one chunk (exact), chunked beyond.
+
+        A 1-5 min clip one-pass would mean a 4500-22500-token quadratic
+        attention (the reference's own long-audio answer is its chunked
+        path); up to 20 s the single pass is used for bit-exactness with
+        the reference's step1 behavior."""
+        if len(speech_16k) <= CHUNK_LEN:
+            return self.extract(speech_16k)
+        return self.extract_features(speech_16k)
+
     def extract_from_file(self, audio_path: str) -> np.ndarray:
         from calipsync_tpu.audio.io import load_audio
 

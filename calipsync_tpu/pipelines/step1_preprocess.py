@@ -139,7 +139,8 @@ class TrainPreprocessor:
         if frame_rms_db(audio) < self.min_db:
             raise RuntimeError("audio level too low: no speaker detected")
 
-        feats = self.hubert.extract(audio)
+        extract = getattr(self.hubert, "extract_auto", self.hubert.extract)
+        feats = extract(audio)
         np.save(os.path.join(output_dir, "aud_hu.npy"), feats)
 
         # --- frames ---
