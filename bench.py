@@ -9,7 +9,7 @@ directory, and prints one JSON line:
 
 Baseline: the driver target of 250 fps/chip (10x real-time at 25 fps,
 BASELINE.md). Env knobs: BENCH_BATCH (default 32), BENCH_DTYPE
-(bfloat16|float32, default bfloat16), BENCH_FRAMES (default 512),
+(bfloat16|float32, default bfloat16), BENCH_FRAMES (default 1024),
 BENCH_RES (source video resolution, default 480).
 """
 
@@ -63,7 +63,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bfloat16")]
-    n_features = int(os.environ.get("BENCH_FRAMES", "512"))
+    n_features = int(os.environ.get("BENCH_FRAMES", "1024"))
     res = int(os.environ.get("BENCH_RES", "480"))
 
     model = Generator(dtype=dtype)
@@ -76,8 +76,10 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as tmp:
         data_dir = make_synthetic_speaker(tmp, res=res)
+        depth = int(os.environ.get("BENCH_DEPTH", "6"))
         synth = FrameSynthesizer(variables, data_dir, model=model,
-                                 batch_size=batch, seed=0)
+                                 batch_size=batch, seed=0,
+                                 pipeline_depth=depth)
 
         # warmup: compile + executable load + frame caches, on exactly the
         # measured shapes (two passes — the first execution after a compile

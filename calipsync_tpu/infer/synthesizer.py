@@ -171,7 +171,8 @@ class FrameSynthesizer:
                  seed: Optional[int] = None,
                  max_cached_frames: int = 4000,
                  preload: bool = True,
-                 mesh=None, axis_name: str = "data"):
+                 mesh=None, axis_name: str = "data",
+                 pipeline_depth: int = 3):
         """
         Args:
           variables: generator {'params','batch_stats'} (imported or trained)
@@ -192,6 +193,10 @@ class FrameSynthesizer:
           mesh: optional jax Mesh — shards each batch's frame windows over
             the ``axis_name`` devices (multi-chip serving). Requires
             preload and batch_size divisible by the mesh size.
+          pipeline_depth: in-flight device batches; d2h copies run in
+            worker threads and partially parallelize (~20% measured), so
+            depth >2 overlaps transfer of batch k with compute of k+1 and
+            compositing of k-1.
         """
         self.data_dir = data_dir
         self.batch_size = batch_size
@@ -225,6 +230,7 @@ class FrameSynthesizer:
         self.sequencer = PingPongSequencer(
             self.total_frames, np.random.default_rng(seed))
         self.last_logical_index = -1
+        self.pipeline_depth = pipeline_depth
         self._cache: dict[int, dict] = {}
         self._cache_enabled = self.total_frames <= max_cached_frames
         self._crops_dev = None
@@ -416,7 +422,7 @@ class FrameSynthesizer:
                     preds = None
                 inflight.append((self.executor.submit(
                     self._composite_batch, preds, entries), seq))
-                while len(inflight) > 2:
+                while len(inflight) >= self.pipeline_depth:
                     fut, s = inflight.popleft()
                     yield from emit(fut.result(), s)
             while inflight:
