@@ -139,6 +139,66 @@ def cmd_cost(args):
     print(json.dumps(generator_cost(batch=args.batch)["gflops"]))
 
 
+def cmd_serve(args):
+    """Real-time streaming server: watches a directory for audio files.
+
+    Drop ``<name>.wav`` into --watch to queue it (prefix ``danmu_`` for
+    the high-priority queue); the avatar idles on silence otherwise.
+    """
+    import time
+
+    from calipsync_tpu.infer.synthesizer import FrameSynthesizer
+    from calipsync_tpu.metrics import get_logger, global_metrics
+    from calipsync_tpu.serve.players import (FilePlayer, NullPlayer,
+                                             RTMPPlayer, WindowPlayer)
+    from calipsync_tpu.serve.stream_manager import StreamingVideoManager
+    from calipsync_tpu.train.trainer import build_model
+
+    log = get_logger("calipsync.serve")
+    cfg = _load_cfg(args)
+    variables = load_generator_variables(args.ckpt, cfg)
+    model = build_model(cfg.model, axis_name=None)
+    synth = FrameSynthesizer(variables, args.assets, model=model,
+                             batch_size=cfg.infer.batch_size, crop=cfg.crop)
+
+    if args.player == "window":
+        player = WindowPlayer(fps=cfg.infer.fps)
+    elif args.player == "rtmp":
+        player = RTMPPlayer(args.rtmp_url, args.width, args.height,
+                            fps=cfg.infer.fps)
+    elif args.player == "file":
+        player = FilePlayer(args.out or "stream.mp4", realtime=True,
+                            fps=cfg.infer.fps)
+    else:
+        player = NullPlayer(fps=cfg.infer.fps)
+
+    mgr = StreamingVideoManager(
+        synth, build_hubert(args.hubert), player,
+        buffer_threshold=int(cfg.infer.fps * cfg.infer.buffer_threshold_s),
+        is_interrupt=args.interrupt)
+    mgr.start_playing()
+    log.info("serving; drop .wav files into %s (danmu_* = priority)",
+             args.watch)
+    os.makedirs(args.watch, exist_ok=True)
+    seen = set()
+    try:
+        while True:
+            for f in sorted(os.listdir(args.watch)):
+                if not f.endswith(".wav") or f in seen:
+                    continue
+                seen.add(f)
+                queue = "danmu" if f.startswith("danmu_") else "normal"
+                n = mgr.add_audio_to_queue(os.path.join(args.watch, f),
+                                           queue_name=queue)
+                log.info("queued %s -> %s (%d frames)", f, queue, n)
+            time.sleep(0.2)
+    except KeyboardInterrupt:
+        log.info("stopping; metrics: %s", global_metrics().snapshot())
+        mgr.stop_playing()
+        if isinstance(player, FilePlayer) and player.frames:
+            log.info("wrote %s", player.finalize())
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="calipsync_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -190,6 +250,22 @@ def main(argv=None):
     sp.add_argument("--base", default=None)
     common(sp, "weights", "hubert")
     sp.set_defaults(fn=cmd_clone)
+
+    sp = sub.add_parser("serve", help="real-time streaming avatar")
+    sp.add_argument("--assets", required=True, help="infer_data dir")
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--watch", default="serve_queue",
+                    help="directory watched for .wav files")
+    sp.add_argument("--player", default="window",
+                    choices=["window", "rtmp", "file", "null"])
+    sp.add_argument("--rtmp-url", default=None)
+    sp.add_argument("--out", default=None, help="file player output")
+    sp.add_argument("--width", type=int, default=1080)
+    sp.add_argument("--height", type=int, default=1920)
+    sp.add_argument("--interrupt", action="store_true",
+                    help="priority audio preempts mid-file")
+    common(sp, "hubert")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("cost", help="compiled model cost analysis")
     sp.add_argument("--batch", type=int, default=1)
