@@ -420,6 +420,9 @@ class FrameSynthesizer:
                 except Exception as e:  # batch fallback (reference :352-357)
                     print(f"frame batch dispatch failed: {e}")
                     preds = None
+                if preds is not None and hasattr(preds,
+                                                 "copy_to_host_async"):
+                    preds.copy_to_host_async()  # start d2h behind compute
                 inflight.append((self.executor.submit(
                     self._composite_batch, preds, entries), seq))
                 while len(inflight) >= self.pipeline_depth:
