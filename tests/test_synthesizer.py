@@ -98,6 +98,47 @@ def test_mesh_sharded_synthesis_matches_single_device(synthetic_step3_dir,
         np.testing.assert_array_equal(x, y)
 
 
+def test_xseg_mask_gates_compositing(synthetic_step3_dir, gen_variables,
+                                     tmp_path):
+    """A zero XSeg mask must suppress the paste entirely (combined mask =
+    face_polygon * xseg, reference process_batch:327-343)."""
+    import shutil
+
+    import cv2
+
+    model, variables = gen_variables
+    masked_dir = tmp_path / "infer_data"
+    shutil.copytree(synthetic_step3_dir, masked_dir)
+    for f in (masked_dir / "frames").glob("*.jpg"):
+        cv2.imwrite(str(masked_dir / "masks" / f.name),
+                    np.zeros((168, 168), np.uint8))
+
+    synth = FrameSynthesizer(variables, str(masked_dir), model=model,
+                             batch_size=4, seed=0)
+    feats = np.random.default_rng(0).standard_normal(
+        (4, 2, 1024)).astype(np.float32)
+    for it in synth.iterate_synthesized_frames(feats):
+        src = cv2.imread(str(masked_dir / "frames" /
+                             f"{str(it['physical_index']).zfill(6)}.jpg"))
+        np.testing.assert_array_equal(it["frame"], src)
+
+
+def test_wenet_batched_windows_shape():
+    from calipsync_tpu.audio.windows import batched_windows
+
+    feats = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (20, 8192)).astype(np.float32))
+    out = batched_windows(feats, jnp.asarray([0, 5, 19]), mode="wenet")
+    assert out.shape == (3, 16, 32, 256)
+    # channels-last of the reference's (256,16,32) NCHW reshape: verify
+    # the idx=5 window (rows [-3,13) -> 3 zero-pad rows + rows 0..12)
+    nchw = np.zeros((16, 8192), np.float32)
+    nchw[3:] = np.asarray(feats[0:13])
+    nchw = nchw.reshape(256, 16, 32)
+    np.testing.assert_allclose(np.asarray(out[1]),
+                               nchw.transpose(1, 2, 0), rtol=0, atol=0)
+
+
 def test_bf16_serving_fidelity_vs_fp32(synthetic_step3_dir, gen_variables):
     """The bf16 serving path stays visually lossless vs fp32 (>35 dB PSNR
     on composited frames; BASELINE parity is measured at fp32)."""
