@@ -150,8 +150,9 @@ class MultiStreamSynthesizer:
         feats = np.pad(feats, ((0, padded_t - len(feats)), (0, 0), (0, 0)))
         feats_dev = self._put(feats)
 
-        preds_all = np.empty((len(jobs), self.crop.size, self.crop.size, 3),
-                             np.uint8)
+        # dispatch ALL device batches first (async under jit), then gather:
+        # transfers and compute of batch k overlap the gather of batch k-1
+        pending = []
         for start in range(0, len(jobs), self.batch_size):
             chunk = jobs[start:start + self.batch_size]
             phys = np.zeros((self.batch_size,), np.int32)
@@ -162,9 +163,15 @@ class MultiStreamSynthesizer:
             preds = self._generate(self.variables, self._crops_dev,
                                    jnp.asarray(phys), feats_dev,
                                    jnp.asarray(fidx))
-            preds = np.asarray(preds)[:len(chunk)].reshape(
+            if hasattr(preds, "copy_to_host_async"):
+                preds.copy_to_host_async()
+            pending.append((start, len(chunk), preds))
+
+        preds_all = np.empty((len(jobs), self.crop.size, self.crop.size, 3),
+                             np.uint8)
+        for start, n, preds in pending:
+            preds_all[start:start + n] = np.asarray(preds)[:n].reshape(
                 -1, self.crop.size, self.crop.size, 3)
-            preds_all[start:start + len(chunk)] = preds
 
         out: Dict[str, List[dict]] = {sid: [] for sid in requests}
         for (st, spk, phys_g, _, entry), pred in zip(jobs, preds_all):
