@@ -89,9 +89,12 @@ class BasePlayer:
             except queue.Empty:
                 next_t = time.monotonic()
                 continue
-            self._render(item)
-            if self._on_frame is not None:
-                self._on_frame(item)
+            try:
+                self._render(item)
+                if self._on_frame is not None:
+                    self._on_frame(item)
+            except Exception as e:  # keep the clock alive (ref resilience)
+                print(f"player render error: {e}")
             next_t += period
             delay = next_t - time.monotonic()
             if delay > 0:
