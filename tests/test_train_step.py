@@ -57,6 +57,33 @@ def test_train_step_runs_and_improves(synthetic_step1_dir):
     assert losses[1] < losses[0], losses
 
 
+def test_bf16_mixed_precision_train_step(synthetic_step1_dir):
+    """bfloat16 compute with fp32 params/stats: step runs, loss finite,
+    params stay fp32 (mixed precision, not low-precision weights)."""
+    mesh = make_mesh(data=2)
+    model_cfg = ModelConfig(dtype="bfloat16")
+    train_cfg = TrainConfig(batch_size=2, perceptual_weight=0.0)
+    model = build_model(model_cfg, axis_name="data")
+    tx = adam(train_cfg)
+    state = create_train_state(model, tx, jax.random.key(0))
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(state.params))
+
+    ds = LipSyncDataset(str(synthetic_step1_dir))
+    feats = jnp.asarray(ds.audio_feats)
+    vgg_vars = jax.jit(VGG19Features().init)(jax.random.key(1),
+                                             jnp.zeros((1, 160, 160, 3)))
+    step_fn = make_train_step(model, tx, mesh, train_cfg,
+                              use_perceptual=False)
+    state = replicate(state, mesh)
+    vgg_vars = replicate(vgg_vars, mesh)
+    batch = shard_batch(_batch(ds, 2, seed=0), mesh)
+    state, metrics = step_fn(state, batch, feats, vgg_vars)
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(state.params))
+
+
 def test_eval_step_sharded(mesh):
     model_cfg = ModelConfig()
     model = build_model(model_cfg, axis_name="data")
