@@ -50,6 +50,44 @@ def vgg_distance(vgg_variables: dict, a: jax.Array, b: jax.Array) -> float:
     return float(jnp.mean(jnp.square(fa - fb)))
 
 
+def lpips_distance(lpips_variables: dict, a, b, net: str = "vgg",
+                   module=None) -> np.ndarray:
+    """Real LPIPS (Zhang et al. 2018) between two NHWC RGB [0,1] or uint8
+    frame batches -> per-frame distances (B,). Pass variables imported from
+    the standard checkpoints via :func:`calipsync_tpu.nn.lpips.import_lpips`
+    (learned metric), or from :func:`make_default_lpips` (deterministic
+    no-weights fallback: random trunk + uniform heads)."""
+    from calipsync_tpu.nn.lpips import LPIPS
+
+    def to01(x):
+        x = jnp.asarray(x)
+        return x.astype(jnp.float32) / (255.0 if x.dtype == jnp.uint8
+                                        else 1.0)
+
+    module = module or LPIPS(net=net)
+    fn = jax.jit(lambda v, x, y: module.apply(v, x, y))
+    return np.asarray(fn(lpips_variables, to01(a), to01(b)))
+
+
+def make_default_lpips(net: str = "vgg", seed: int = 0,
+                       image_size: int = 64):
+    """LPIPS module + deterministic variables without external weights:
+    seeded random trunk (random deep features are a known usable perceptual
+    proxy) and uniform 1/C linear heads (plain unit-normalized feature MSE
+    per tap). Replace with imported real weights when available."""
+    from calipsync_tpu.nn.lpips import LPIPS
+
+    module = LPIPS(net=net)
+    x = jnp.zeros((1, image_size, image_size, 3))
+    variables = module.init(jax.random.key(seed), x, x)
+    params = dict(variables["params"])
+    for k in list(params):
+        if k.startswith("lin"):
+            kern = params[k]["kernel"]
+            params[k] = {"kernel": jnp.full_like(kern, 1.0 / kern.shape[2])}
+    return module, {"params": params}
+
+
 def generator_parity_report(reference_torch_model,
                             batch: int = 2, seed: int = 0,
                             dtype=None) -> dict:

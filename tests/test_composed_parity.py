@@ -166,13 +166,27 @@ def test_composed_serving_parity_with_xseg(ref_serving, shared_weights,
     a = np.stack(ref_frames)
     b = np.stack(our_frames)
     scores = batch_psnr(a, b)
+
+    # real-LPIPS metric between the two systems' composited output (BGR ->
+    # RGB, downscaled for the 1-core CPU budget); deterministic no-weights
+    # variables — see eval.make_default_lpips
+    from calipsync_tpu.eval import lpips_distance, make_default_lpips
+
+    sa = np.stack([cv2.resize(f, (112, 112))[..., ::-1] for f in ref_frames])
+    sb = np.stack([cv2.resize(f, (112, 112))[..., ::-1] for f in our_frames])
+    module, lvars = make_default_lpips(net="vgg", seed=0, image_size=112)
+    lp = lpips_distance(lvars, sa, sb, module=module)
+
     _record("composed_xseg_mask", {
         "n_frames": len(ref_frames),
         "psnr_db_min": float(np.min(scores)),
         "psnr_db_mean": float(np.mean(scores)),
         "exact_pixel_fraction": float(np.mean(a == b)),
+        "lpips_mean": float(lp.mean()),
+        "lpips_max": float(lp.max()),
     })
     assert scores.min() > 50.0, scores
+    assert lp.max() < 1e-4, lp
 
 
 def test_prediction_quantization_points(ref_serving, shared_weights,
