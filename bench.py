@@ -1,16 +1,27 @@
 """End-to-end lip-sync throughput benchmark (one TPU chip).
 
 Measures the full serving path — disk frame load, host crop/mask prep,
-jitted generator forward, paste-back compositing — over a synthetic speaker
-directory, and prints one JSON line:
+jitted generator forward, d2h of predictions, paste-back compositing —
+over a synthetic speaker directory, and prints ONE JSON line whose
+headline is the driver metric:
 
     {"metric": "lipsync_fps_per_chip", "value": N, "unit": "frames/s",
-     "vs_baseline": N / 250}
+     "vs_baseline": N / 250, ...extra lines...}
+
+Extra keys (same JSON object):
+  compute_only_fps   device dispatch + compute only, no d2h/compositing —
+                     separates chip headroom from tunnel bandwidth
+  realistic_720p     2,500 frames (100 s clip) at 1280x720 portrait with
+                     the host frame cache deliberately capped BELOW the
+                     clip length: steady-state JPEG decode on misses, with
+                     the device-resident crop store still active (the
+                     round-1 4000-frame cliff is gone)
 
 Baseline: the driver target of 250 fps/chip (10x real-time at 25 fps,
-BASELINE.md). Env knobs: BENCH_BATCH (default 32), BENCH_DTYPE
-(bfloat16|float32, default bfloat16), BENCH_FRAMES (default 1024),
-BENCH_RES (source video resolution, default 480).
+BASELINE.md). Env knobs: BENCH_BATCH (default 128), BENCH_DTYPE
+(bfloat16|float32), BENCH_FRAMES (default 1024), BENCH_RES (default 480),
+BENCH_DEPTH (pipeline depth, default 6), BENCH_FULL=0 to skip the
+realistic scenario.
 """
 
 import json
@@ -22,23 +33,42 @@ import numpy as np
 
 
 def make_synthetic_speaker(root: str, n_frames: int = 40,
-                           res: int = 480) -> str:
+                           res: int = 480, res_w: int = None,
+                           seed: int = 42) -> str:
+    """Synthetic step3 assets: structured frames (gradient background +
+    face ellipse + mild texture) that compress and decode like real video
+    frames — random noise would make JPEG decode pathologically slow and
+    large. ``res`` is the frame height, ``res_w`` the width (default
+    square)."""
     import cv2
 
+    h, w = res, res_w or res
     infer = os.path.join(root, "infer_data")
     for d in ("frames", "positions", "lips_jpg", "masks"):
         os.makedirs(os.path.join(infer, d), exist_ok=True)
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
+
+    yy = np.linspace(40, 200, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 55, w, dtype=np.float32)[None, :]
+    ch = yy + xx
+    base = np.stack([ch, np.broadcast_to(yy * 0.8 + 30, ch.shape),
+                     np.broadcast_to(230 - xx, ch.shape)], -1)
+
     for i in range(n_frames):
-        img = rng.integers(0, 256, (res, res, 3)).astype(np.uint8)
+        img = base + rng.normal(0, 6, (h, w, 3)).astype(np.float32)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        xmin = w // 4 + int(rng.integers(-8, 8))
+        width = w // 3 + int(rng.integers(-10, 10))
+        ymin = h // 2 + int(rng.integers(-8, 8))
+        cx, cy = xmin + width // 2, ymin + width // 2
+        cv2.ellipse(img, (cx, cy), (width // 2, int(width * 0.6)),
+                    0, 0, 360, (150, 170, 210), -1)
+        cv2.ellipse(img, (cx, cy + width // 4), (width // 5, width // 8),
+                    0, 0, 360, (90, 90, 160), -1)
         n = str(i).zfill(6)
         cv2.imwrite(os.path.join(infer, "frames", f"{n}.jpg"), img,
                     [cv2.IMWRITE_JPEG_QUALITY, 95])
         lms = np.zeros((110, 2), np.int64)
-        xmin = res // 4 + int(rng.integers(-8, 8))
-        width = res // 3 + int(rng.integers(-10, 10))
-        ymin = res // 2 + int(rng.integers(-8, 8))
-        cx, cy = xmin + width // 2, ymin + width // 2
         theta = np.linspace(0, 2 * np.pi, 33, endpoint=False)
         lms[:33, 0] = (cx + 0.45 * width * np.cos(theta)).astype(np.int64)
         lms[:33, 1] = (cy + 0.45 * width * np.sin(theta)).astype(np.int64)
@@ -48,6 +78,45 @@ def make_synthetic_speaker(root: str, n_frames: int = 40,
         lms[52] = (cx, ymin)
         np.savetxt(os.path.join(infer, "positions", f"{n}.txt"), lms)
     return infer
+
+
+def _measured_fps(synth, feats, warm_passes: int) -> float:
+    for _ in range(warm_passes):
+        for _ in synth.iterate_synthesized_frames(feats):
+            pass
+    t0 = time.time()
+    n = 0
+    for _ in synth.iterate_synthesized_frames(feats):
+        n += 1
+    return n / (time.time() - t0)
+
+
+def _compute_only_fps(synth, feats) -> float:
+    """Device path only: dispatch every batch (resident crop store, index
+    uploads) and block on completion — no d2h of predictions, no host
+    compositing. The gap to the end-to-end number is the tunnel + host."""
+    import jax
+    import jax.numpy as jnp
+
+    total = len(feats)
+    bucket = 256
+    padded_t = max(bucket, -(-total // bucket) * bucket)
+    padded = np.zeros((padded_t,) + feats.shape[1:], np.float32)
+    padded[:total] = feats
+    fd = jnp.asarray(padded)
+    bs = synth.batch_size
+
+    jax.block_until_ready(synth._dispatch(
+        [None] * bs, list(range(bs)), list(range(bs)), fd))  # warm
+    t0 = time.time()
+    last = None
+    for start in range(0, total, bs):
+        end = min(start + bs, total)
+        seq = synth.sequencer.next(end - start)
+        last = synth._dispatch([None] * (end - start), seq,
+                               list(range(start, end)), fd)
+    jax.block_until_ready(last)
+    return total / (time.time() - t0)
 
 
 def main() -> None:
@@ -65,6 +134,8 @@ def main() -> None:
         os.environ.get("BENCH_DTYPE", "bfloat16")]
     n_features = int(os.environ.get("BENCH_FRAMES", "1024"))
     res = int(os.environ.get("BENCH_RES", "480"))
+    depth = int(os.environ.get("BENCH_DEPTH", "6"))
+    full = os.environ.get("BENCH_FULL", "1") == "1"
 
     model = Generator(dtype=dtype)
     variables = jax.jit(model.init)(jax.random.key(0),
@@ -76,28 +147,41 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as tmp:
         data_dir = make_synthetic_speaker(tmp, res=res)
-        depth = int(os.environ.get("BENCH_DEPTH", "6"))
         synth = FrameSynthesizer(variables, data_dir, model=model,
                                  batch_size=batch, seed=0,
                                  pipeline_depth=depth)
+        # two warm passes: compile + executable load + frame caches, on
+        # exactly the measured shapes
+        fps = _measured_fps(synth, feats, warm_passes=2)
+        compute_fps = _compute_only_fps(synth, feats)
 
-        # warmup: compile + executable load + frame caches, on exactly the
-        # measured shapes (two passes — the first execution after a compile
-        # is slow on this runtime)
-        for _ in range(2):
-            for _ in synth.iterate_synthesized_frames(feats):
-                pass
+    out = {"metric": "lipsync_fps_per_chip", "value": round(fps, 2),
+           "unit": "frames/s", "vs_baseline": round(fps / 250.0, 3),
+           "compute_only_fps": round(compute_fps, 2)}
 
-        t0 = time.time()
-        n = 0
-        for _ in synth.iterate_synthesized_frames(feats):
-            n += 1
-        dt = time.time() - t0
+    if full:
+        n_real = int(os.environ.get("BENCH_REAL_FRAMES", "2500"))
+        cache_cap = int(os.environ.get("BENCH_REAL_CACHE", "1200"))
+        real_feats = rng.standard_normal((n_real, 2, 1024)).astype(
+            np.float32)
+        with tempfile.TemporaryDirectory() as tmp:
+            data_dir = make_synthetic_speaker(tmp, n_frames=n_real,
+                                              res=1280, res_w=720)
+            synth = FrameSynthesizer(variables, data_dir, model=model,
+                                     batch_size=batch, seed=0,
+                                     pipeline_depth=depth,
+                                     max_cached_frames=cache_cap)
+            r_fps = _measured_fps(synth, real_feats, warm_passes=1)
+            r_compute = _compute_only_fps(synth, real_feats)
+            out["realistic_720p"] = {
+                "n_frames": n_real, "resolution": "1280x720",
+                "host_cache_cap": cache_cap,
+                "resident_store_active": synth._crops_dev is not None,
+                "fps": round(r_fps, 2),
+                "compute_only_fps": round(r_compute, 2),
+            }
 
-    fps = n / dt
-    print(json.dumps({"metric": "lipsync_fps_per_chip",
-                      "value": round(fps, 2), "unit": "frames/s",
-                      "vs_baseline": round(fps / 250.0, 3)}))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,11 +37,21 @@ class HubertFeatureExtractor:
 
     def __init__(self, variables: dict,
                  config: Optional[HubertConfig] = None,
-                 dtype=None, bucket_samples: int = 32_000):
+                 dtype=None, bucket_samples: int = 32_000,
+                 kernel: int = KERNEL, stride: int = STRIDE,
+                 clip_samples: int = CLIP_SAMPLES):
+        """kernel/stride/clip_samples parameterize the chunk math (the
+        reference hard-codes 400/320/320000 for HuBERT-large,
+        utils/hubert_extractor.py:26-28); overriding them lets tests run
+        the identical chunk semantics on tiny configs."""
         self.config = config or HubertConfig.large()
         self.variables = variables
         self.model = HubertModel(self.config, dtype=dtype)
         self.bucket = bucket_samples
+        self.kernel = kernel
+        self.stride = stride
+        self.clip_samples = clip_samples
+        self.chunk_len = clip_samples - stride + kernel
 
         @functools.partial(jax.jit, static_argnums=())
         def _fwd(variables, wav, n_valid):
@@ -78,16 +88,16 @@ class HubertFeatureExtractor:
             speech_16k = speech_16k[:, 0]
         normalized = np.asarray(normalize_wav(speech_16k))
         total = normalized.shape[0]
-        num_iter = total // CLIP_SAMPLES
-        expected_t = (total - (KERNEL - STRIDE)) // STRIDE
+        num_iter = total // self.clip_samples
+        expected_t = (total - (self.kernel - self.stride)) // self.stride
 
         pieces = []
         for i in range(num_iter):
-            start = CLIP_SAMPLES * i
+            start = self.clip_samples * i
             pieces.append(self._forward_padded(
-                normalized[start:start + CHUNK_LEN]))
-        remaining = normalized[CLIP_SAMPLES * num_iter:]
-        if remaining.shape[0] >= KERNEL:
+                normalized[start:start + self.chunk_len]))
+        remaining = normalized[self.clip_samples * num_iter:]
+        if remaining.shape[0] >= self.kernel:
             pieces.append(self._forward_padded(remaining))
 
         if not pieces:
@@ -108,7 +118,7 @@ class HubertFeatureExtractor:
         attention (the reference's own long-audio answer is its chunked
         path); up to 20 s the single pass is used for bit-exactness with
         the reference's step1 behavior."""
-        if len(speech_16k) <= CHUNK_LEN:
+        if len(speech_16k) <= self.chunk_len:
             return self.extract(speech_16k)
         return self.extract_features(speech_16k)
 

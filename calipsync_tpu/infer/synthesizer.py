@@ -23,7 +23,9 @@ time_stats instrumentation.
 from __future__ import annotations
 
 import os
+import threading
 import time
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -179,17 +181,20 @@ class FrameSynthesizer:
           data_dir: step3 ``infer_data`` directory (frames/positions/masks)
           model: Generator module (default: bf16-free fp32 hubert model)
           batch_size: device batch; tails are padded to it
-          max_cached_frames: cache decoded frames + derived crops/masks per
-            physical frame up to this count (~1 MB/frame). The physical
-            clip repeats forever under the ping-pong walk, so everything
-            derived from (frame, landmarks) — crops, masked crops, the
-            dilated face-polygon mask — is computed exactly once.
+          max_cached_frames: LRU bound on the HOST cache of decoded frames
+            + derived crops/masks (~1-4 MB/frame depending on resolution).
+            The ping-pong walk is sequential with slow direction flips, so
+            revisits are local and an LRU far smaller than the clip still
+            hits almost always. Independent of ``preload``: a 5-minute
+            clip (7,500 frames) keeps the device-resident fast path even
+            when the host cache is capped below the clip length.
           preload: decode every physical frame up front and park the whole
-            speaker's mouth-crop array in device HBM (~75 KB/frame). Per
-            step the host then uploads only two int32 index vectors — the
-            device gathers its own inputs. This is the main lever against
-            host<->device bandwidth (SURVEY.md section 7 (5)); disable for
-            clips larger than max_cached_frames or latency-critical init.
+            speaker's mouth-crop array in device HBM (~75 KB/frame, so
+            even 7,500 frames are ~550 MB). Per step the host then uploads
+            only two int32 index vectors — the device gathers its own
+            inputs. This is the main lever against host<->device bandwidth
+            (SURVEY.md section 7 (5)); disable only for latency-critical
+            init.
           mesh: optional jax Mesh — shards each batch's frame windows over
             the ``axis_name`` devices (multi-chip serving). Requires
             preload and batch_size divisible by the mesh size.
@@ -231,10 +236,11 @@ class FrameSynthesizer:
             self.total_frames, np.random.default_rng(seed))
         self.last_logical_index = -1
         self.pipeline_depth = pipeline_depth
-        self._cache: dict[int, dict] = {}
-        self._cache_enabled = self.total_frames <= max_cached_frames
+        self.max_cached_frames = max_cached_frames
+        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._cache_lock = threading.Lock()
         self._crops_dev = None
-        if preload and self._cache_enabled and self.total_frames > 0:
+        if preload and self.total_frames > 0:
             self.preload()
 
     # ---------------- per-physical-frame cache ----------------
@@ -290,22 +296,29 @@ class FrameSynthesizer:
 
     def _frame_entry(self, phys_idx: int) -> dict:
         phys_idx = phys_idx % self.total_frames
-        if self._cache_enabled:
+        with self._cache_lock:
             e = self._cache.get(phys_idx)
-            if e is None:
-                e = self._build_entry(phys_idx)
-                self._cache[phys_idx] = e
-            return e
-        return self._build_entry(phys_idx)
+            if e is not None:
+                self._cache.move_to_end(phys_idx)
+                return e
+        e = self._build_entry(phys_idx)  # outside the lock (ms-scale work)
+        with self._cache_lock:
+            self._cache[phys_idx] = e
+            while len(self._cache) > self.max_cached_frames:
+                self._cache.popitem(last=False)
+        return e
 
     def _entries_for(self, seq):
         return list(self.executor.map(self._frame_entry, seq))
 
     def preload(self) -> None:
         """Decode all physical frames and upload the crop store to HBM
-        (flat layout — see make_generate_resident_fn)."""
-        entries = self._entries_for(range(self.total_frames))
-        crops = np.stack([e["ref"].reshape(-1) for e in entries])
+        (flat layout — see make_generate_resident_fn). Host entries pass
+        through the LRU cache, so clips longer than max_cached_frames keep
+        only their tail cached — the HBM store itself is never capped."""
+        crops = np.stack(list(self.executor.map(
+            lambda i: self._frame_entry(i)["ref"].reshape(-1),
+            range(self.total_frames))))
         self._crops_dev = (self._replicate(crops) if self.mesh is not None
                            else jax.device_put(crops))
 

@@ -99,6 +99,94 @@ def test_extractor_shapes_and_chunk_consistency():
     assert np.isfinite(feats).all()
 
 
+def _reference_extract_features(hf_model, wav, kernel, stride, clip_length):
+    """The reference's chunked extraction loop
+    (/root/reference/utils/hubert_extractor.py:18-58) ported onto an
+    arbitrary HF model with parameterized kernel/stride/clip (the reference
+    hard-codes 400/320/320000 for HuBERT-large); processor normalization
+    replaced by the identical normalize_wav math. This is the golden spec
+    for chunk boundaries, remainder handling, pad/trim and reshape."""
+    import torch
+
+    speech = wav[:, 0] if wav.ndim == 2 else wav
+    input_values = torch.from_numpy(
+        np.asarray(normalize_wav(speech))[None])
+
+    num_iter = input_values.shape[1] // clip_length
+    expected_t = (input_values.shape[1] - (kernel - stride)) // stride
+    features = []
+    with torch.no_grad():
+        for i in range(num_iter):
+            start_idx = clip_length * i
+            end_idx = start_idx + (clip_length - stride + kernel)
+            batch = input_values[:, start_idx:end_idx]
+            features.append(hf_model(batch).last_hidden_state[0])
+        if num_iter == 0 or \
+                input_values[:, clip_length * num_iter:].shape[1] >= kernel:
+            remaining = input_values[:, clip_length * num_iter:]
+            if remaining.shape[1] >= kernel:
+                features.append(hf_model(remaining).last_hidden_state[0])
+    features = torch.cat(features, dim=0)
+    if features.shape[0] < expected_t:
+        features = torch.nn.functional.pad(
+            features, (0, 0, 0, expected_t - features.shape[0]))
+    else:
+        features = features[:expected_t]
+    t = features.shape[0] - (features.shape[0] % 2)
+    return features[:t].reshape(-1, 2, features.shape[1]).numpy()
+
+
+@pytest.mark.parametrize("n_samples", [3730,   # 3 chunks + live remainder
+                                       3025])  # remainder < kernel: dropped
+def test_chunked_matches_reference_loop(n_samples):
+    """Row-for-row parity of the chunked long-audio path against the
+    reference's own loop, across >=3 chunk boundaries. Tiny-config chunk
+    constants: the model's true frame stride is 5*2*2=20 with an effective
+    kernel of 30, so clip=1000 gives exactly 50 frames per chunk — the
+    same no-overlap arithmetic as the large model's 400/320/320000."""
+    hf_model, cfg, variables = _tiny_pair("layer", True)
+    kernel, stride, clip = 30, 20, 1000
+
+    rng = np.random.default_rng(6)
+    wav = rng.standard_normal((n_samples,)).astype(np.float32)
+
+    ref = _reference_extract_features(hf_model, wav, kernel, stride, clip)
+
+    ex = HubertFeatureExtractor(variables, cfg, bucket_samples=500,
+                                kernel=kernel, stride=stride,
+                                clip_samples=clip)
+    ours = ex.extract_features(wav)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_large_layer_count_bf16_vs_fp32():
+    """Serving runs HuBERT-large (24 layers) in bf16; bound the accuracy
+    cost vs fp32 at the real depth/width (random weights — the checkpoint
+    is not in this image, but depth-accumulated rounding is weight-scale
+    independent after layernorms)."""
+    cfg = HubertConfig.large()
+    model32 = HubertModel(cfg)
+    rng = np.random.default_rng(8)
+    wav = rng.standard_normal((1, 16000)).astype(np.float32)
+
+    variables = jax.jit(model32.init)(jax.random.key(0), jnp.asarray(wav))
+    out32 = np.asarray(jax.jit(model32.apply)(variables, jnp.asarray(wav)),
+                       np.float32)
+
+    model16 = HubertModel(cfg, dtype=jnp.bfloat16)
+    out16 = np.asarray(jax.jit(model16.apply)(variables, jnp.asarray(wav)),
+                       np.float32)
+
+    rel = np.linalg.norm(out16 - out32, axis=-1) / \
+        (np.linalg.norm(out32, axis=-1) + 1e-9)
+    cos = np.sum(out16 * out32, -1) / (
+        np.linalg.norm(out16, axis=-1) * np.linalg.norm(out32, axis=-1)
+        + 1e-9)
+    assert rel.max() < 0.05, rel.max()
+    assert cos.min() > 0.999, cos.min()
+
+
 def test_normalize_wav_matches_processor_math():
     rng = np.random.default_rng(4)
     wav = rng.standard_normal((5000,)).astype(np.float32) * 3 + 0.5

@@ -78,6 +78,28 @@ def test_resident_path_matches_streaming_path(synthetic_step3_dir,
         np.testing.assert_array_equal(x, y)
 
 
+def test_host_cache_cap_keeps_resident_path(synthetic_step3_dir,
+                                            gen_variables):
+    """Round-1 cliff regression: a host LRU cache smaller than the clip
+    must NOT disable the device-resident crop store, must stay bounded,
+    and must produce identical frames to an uncapped run."""
+    model, variables = gen_variables
+    feats = np.random.default_rng(31).standard_normal(
+        (10, 2, 1024)).astype(np.float32)
+    capped = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                              model=model, batch_size=4, seed=11,
+                              max_cached_frames=5)
+    assert capped._crops_dev is not None  # resident path active
+    assert len(capped._cache) <= 5
+    full = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                            model=model, batch_size=4, seed=11)
+    fa = [it["frame"] for it in capped.iterate_synthesized_frames(feats)]
+    fb = [it["frame"] for it in full.iterate_synthesized_frames(feats)]
+    assert len(capped._cache) <= 5 and len(full._cache) == 12
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_mesh_sharded_synthesis_matches_single_device(synthetic_step3_dir,
                                                       gen_variables):
     """Frame windows sharded over an 8-device mesh == single-device run."""
