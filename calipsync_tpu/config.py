@@ -63,10 +63,17 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh spec: data-parallel over ICI, optional DCN host axis."""
+    """Device mesh spec: data-parallel over ICI, optional DCN host axis.
 
-    data: int = -1                     # -1 = all local devices
+    dcn=1 (default) builds a 1-D ``(data,)`` mesh over local devices;
+    dcn>1 (or -1 = process count) builds the 2-D ``(host, data)`` mesh of
+    core.mesh.make_hybrid_mesh, where the host axis crosses DCN. Requires
+    core.mesh.maybe_initialize_distributed() to have run multi-process."""
+
+    data: int = -1                     # -1 = all (per-host) devices
     axis_name: str = "data"
+    dcn: int = 1                       # host axis size; -1 = process count
+    dcn_axis_name: str = "host"
 
 
 @dataclass(frozen=True)

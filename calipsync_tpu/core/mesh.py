@@ -9,11 +9,50 @@ slices extend the same mesh over DCN; the code only ever names logical axes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import os
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AxisNames = Union[str, Tuple[str, ...]]
+
+
+def maybe_initialize_distributed(
+        coordinator_address: Optional[str] = None,
+        num_processes: Optional[int] = None,
+        process_id: Optional[int] = None) -> bool:
+    """Env-driven multi-host runtime init (jax.distributed over DCN).
+
+    Reads CALIPSYNC_COORDINATOR / CALIPSYNC_NUM_PROCESSES /
+    CALIPSYNC_PROCESS_ID unless given explicitly; a no-op (returns False)
+    when unset or single-process. On TPU pods jax.distributed also
+    auto-detects, so explicit env vars are only needed off-pod (e.g. the
+    2-process CPU test, tests/test_multihost.py). Must run before any
+    backend use. Idempotent."""
+    coordinator = coordinator_address or os.environ.get(
+        "CALIPSYNC_COORDINATOR")
+    nproc = num_processes if num_processes is not None else int(
+        os.environ.get("CALIPSYNC_NUM_PROCESSES", "0") or 0)
+    if not coordinator or nproc <= 1:
+        return False
+    pid = process_id if process_id is not None else int(
+        os.environ.get("CALIPSYNC_PROCESS_ID", "-1"))
+    # idempotency probe that must NOT touch the backend (jax.process_count
+    # would initialize XLA, after which distributed init is rejected)
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True
+    try:  # CPU cross-process collectives need the gloo backend
+        if jax.config.read("jax_platforms") == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    jax.distributed.initialize(coordinator, num_processes=nproc,
+                               process_id=pid)
+    return True
 
 
 def make_mesh(data: int = -1, axis_name: str = "data",
@@ -25,6 +64,35 @@ def make_mesh(data: int = -1, axis_name: str = "data",
     if data > len(devs):
         raise ValueError(f"requested {data} devices, have {len(devs)}")
     return Mesh(np.asarray(devs[:data]), (axis_name,))
+
+
+def make_hybrid_mesh(data: int = -1, dcn: int = -1,
+                     axis_name: str = "data",
+                     dcn_axis_name: str = "host") -> Mesh:
+    """2-D (host, data) mesh: the outer axis spans processes (collectives
+    cross DCN), the inner axis spans each process's local devices
+    (collectives ride ICI). Devices are ordered process-major so the inner
+    axis never leaves a host. With one process this still builds a valid
+    (1, N) mesh — the same code path runs everywhere (MeshConfig.dcn)."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    if dcn == -1:
+        dcn = jax.process_count()
+    if len(devs) % dcn:
+        raise ValueError(f"{len(devs)} devices not divisible into {dcn} hosts")
+    per_host = len(devs) // dcn
+    if data == -1:
+        data = per_host
+    if data > per_host:
+        raise ValueError(f"requested {data} per-host devices, have {per_host}")
+    arr = np.asarray(devs).reshape(dcn, per_host)[:, :data]
+    return Mesh(arr, (dcn_axis_name, axis_name))
+
+
+def batch_axes(mesh: Mesh) -> AxisNames:
+    """The axis name(s) a data batch shards over: every mesh axis.
+    1-D mesh -> 'data'; hybrid mesh -> ('host', 'data')."""
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -161,6 +161,96 @@ def depthwise3x3(x: jax.Array, kernel: jax.Array,
     return out[:, :h_out, :w_out, :c]
 
 
+def _dw_blocked_kernel(stride: int, h_out: int, w_out: int,
+                       negative_slope: float, apply_act: bool,
+                       x_ref, k_ref, s_ref, b_ref, out_ref):
+    """Halo-free variant: each program owns one (batch, channel-tile) and
+    the WHOLE padded H x W plane arrives as a plain VMEM block — no manual
+    DMA (the v1 halo DMA crashes this environment's remote Mosaic AOT
+    toolchain). Feasible because the generator's planes are small: the
+    largest (162, 168, 128) bf16 block is ~7 MB."""
+    x = x_ref[0].astype(jnp.float32)          # (H_in, W_in, Ct)
+    k = k_ref[...].astype(jnp.float32)        # (3, 3, Ct)
+    scale = s_ref[...].astype(jnp.float32)
+    bias = b_ref[...].astype(jnp.float32)
+
+    c_dim = x.shape[-1]
+    acc = jnp.zeros((h_out, w_out, c_dim), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            if stride == 1:
+                rows = x[dy:dy + h_out, dx:dx + w_out, :]
+            else:  # stride 2: contiguous slice + reshape decimation
+                rows = x[dy:dy + h_out * 2, dx:dx + w_out * 2, :]
+                rows = rows.reshape(h_out, 2, w_out, 2, c_dim)[:, 0, :, 0]
+            acc = acc + rows * k[dy, dx, :]
+    acc = acc * scale + bias
+    if apply_act:
+        acc = jnp.where(acc >= 0, acc, acc * negative_slope)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def depthwise3x3_blocked(x: jax.Array, kernel: jax.Array,
+                         scale: Optional[jax.Array] = None,
+                         bias: Optional[jax.Array] = None,
+                         stride: int = 1, negative_slope: float = 0.01,
+                         apply_act: bool = True) -> jax.Array:
+    """Fused depthwise conv, halo-free blocking (grid = batch x channel
+    tiles, full spatial plane per program). Same contract as
+    :func:`depthwise3x3`."""
+    if kernel.ndim == 4:
+        kernel = kernel[:, :, 0, :]
+    b, h, w, c = x.shape
+    if scale is None:
+        scale = jnp.ones((c,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((c,), jnp.float32)
+    h_out = (h + 2 - 3) // stride + 1
+    w_out = (w + 2 - 3) // stride + 1
+    w_pad_out = _round_up(w_out, SUBLANE)
+
+    h_in = h_out * stride + 2
+    w_in = w_pad_out * stride + 2
+    x_p = jnp.pad(x, ((0, 0), (1, h_in - h - 1), (1, w_in - w - 1), (0, 0)))
+
+    c_tile = min(LANE, _round_up(c, SUBLANE))
+    if c % c_tile:
+        pad_c = _round_up(c, c_tile) - c
+        x_p = jnp.pad(x_p, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_c)))
+        scale = jnp.pad(scale, (0, pad_c))
+        bias = jnp.pad(bias, (0, pad_c))
+    n_c = x_p.shape[-1] // c_tile
+
+    out = pl.pallas_call(
+        functools.partial(_dw_blocked_kernel, stride, h_out, w_pad_out,
+                          negative_slope, apply_act),
+        grid=(b, n_c),
+        in_specs=[
+            pl.BlockSpec((1, h_in, w_in, c_tile),
+                         lambda bi, ci: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c_tile), lambda bi, ci: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_tile,), lambda bi, ci: (ci,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_tile,), lambda bi, ci: (ci,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_out, w_pad_out, c_tile),
+                               lambda bi, ci: (bi, 0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_pad_out,
+                                        x_p.shape[-1]), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * h_out * w_out * c * 9 * 2,
+            bytes_accessed=(x_p.size + b * h_out * w_out * c) * 4,
+            transcendentals=0,
+        ),
+    )(x_p, kernel, scale, bias)
+    return out[:, :h_out, :w_out, :c]
+
+
 def depthwise3x3_reference(x, kernel, scale=None, bias=None, stride=1,
                            negative_slope=0.01, apply_act=True):
     """XLA reference implementation (same math, lax conv)."""

@@ -67,7 +67,7 @@ def create_train_state(model: Generator, tx: optax.GradientTransformation,
 def make_train_step(model: Generator, tx: optax.GradientTransformation,
                     mesh: Mesh, train_cfg: TrainConfig,
                     use_perceptual: bool = True,
-                    axis_name: str = "data"):
+                    axis_name="data"):
     """Build the jitted DP train step.
 
     Returns fn(state, batch, audio_feats, vgg_variables) -> (state, metrics):
@@ -77,9 +77,17 @@ def make_train_step(model: Generator, tx: optax.GradientTransformation,
       vgg_variables: VGG19Features variables (replicated), or pass
         use_perceptual=False and feed an empty dict.
 
+    ``axis_name`` may be a single mesh axis ('data') or a tuple of axes
+    (('host', 'data') for the hybrid DCN x ICI mesh of
+    core.mesh.make_hybrid_mesh): the batch shards over all of them and
+    gradients/metrics pmean over all of them — the host-axis part of the
+    all-reduce crosses DCN, the rest rides ICI. Build the model with the
+    same axis_name so sync-BN statistics span every replica.
+
     VGG weights are an explicit argument (not a closure) so they are jit
     inputs rather than HLO constants — keeps compile fast and cacheable.
     """
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     compute_dtype = model.dtype or jnp.float32
 
     def shard_step(state: TrainState, batch: dict, audio_feats: jax.Array,
@@ -102,16 +110,16 @@ def make_train_step(model: Generator, tx: optax.GradientTransformation,
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(state.params)
-        grads = jax.lax.pmean(grads, axis_name)
-        metrics = jax.lax.pmean(metrics, axis_name)
+        grads = jax.lax.pmean(grads, axes)
+        metrics = jax.lax.pmean(metrics, axes)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, metrics
 
-    batch_spec = {"ref": P(axis_name), "masked": P(axis_name),
-                  "target": P(axis_name), "index": P(axis_name)}
+    batch_spec = {"ref": P(axes), "masked": P(axes),
+                  "target": P(axes), "index": P(axes)}
     mapped = jax.shard_map(
         shard_step, mesh=mesh,
         in_specs=(P(), batch_spec, P(), P()),

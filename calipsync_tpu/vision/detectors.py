@@ -138,3 +138,119 @@ class SCRFDDetector:
             self.last_detection = current
             out.append(current)
         return out
+
+    def _resize_keep_ratio(self, srcimg: np.ndarray):
+        """Reference resize_image (utils/detect_face.py:17-34): aspect-kept
+        resize + CENTERED constant-border pad to 640x640."""
+        cv2 = self._cv2
+        inp = self.INPUT
+        padh, padw, newh, neww = 0, 0, inp, inp
+        if srcimg.shape[0] != srcimg.shape[1]:
+            hw_scale = srcimg.shape[0] / srcimg.shape[1]
+            if hw_scale > 1:
+                newh, neww = inp, int(inp / hw_scale)
+                img = cv2.resize(srcimg, (neww, newh),
+                                 interpolation=cv2.INTER_AREA)
+                padw = int((inp - neww) * 0.5)
+                img = cv2.copyMakeBorder(img, 0, 0, padw, inp - neww - padw,
+                                         cv2.BORDER_CONSTANT, value=0)
+            else:
+                newh, neww = int(inp * hw_scale) + 1, inp
+                img = cv2.resize(srcimg, (neww, newh),
+                                 interpolation=cv2.INTER_AREA)
+                padh = int((inp - newh) * 0.5)
+                img = cv2.copyMakeBorder(img, padh, inp - newh - padh, 0, 0,
+                                         cv2.BORDER_CONSTANT, value=0)
+        else:
+            img = cv2.resize(srcimg, (inp, inp),
+                             interpolation=cv2.INTER_AREA)
+        return img, newh, neww, padh, padw
+
+    def detect_with_keypoints(self, img: np.ndarray):
+        """Full reference SCRFD decode incl. the 5-point keypoint heads
+        (utils/detect_face.py:57-106): returns (bboxes_xywh (N,4), kept
+        indices, keypoints (N,5,2)) in source-image coordinates. This is
+        what LegacyLandmark's eye-roll path consumes
+        (utils/get_landmark.py:21-57)."""
+        cv2 = self._cv2
+        resized, newh, neww, padh, padw = self._resize_keep_ratio(img)
+        blob = cv2.dnn.blobFromImage(resized, 1.0 / 128.0,
+                                     (self.INPUT, self.INPUT),
+                                     (127.5, 127.5, 127.5), swapRB=True)
+        self.net.setInput(blob)
+        outs = self.net.forward(self.net.getUnconnectedOutLayersNames())
+        return decode_scrfd_with_keypoints(
+            outs, img.shape[:2], newh, neww, padh, padw,
+            self.conf_threshold, self.nms_threshold,
+            strides=self.STRIDES, num_anchors=self.NUM_ANCHORS,
+            input_size=self.INPUT)
+
+
+def _distance2bbox(points: np.ndarray, distance: np.ndarray) -> np.ndarray:
+    """Anchor-center + 4 distances -> xyxy (reference distance2bbox)."""
+    return np.stack([points[:, 0] - distance[:, 0],
+                     points[:, 1] - distance[:, 1],
+                     points[:, 0] + distance[:, 2],
+                     points[:, 1] + distance[:, 3]], axis=-1)
+
+
+def _distance2kps(points: np.ndarray, distance: np.ndarray) -> np.ndarray:
+    """Anchor-center + 2K offsets -> (N, 2K) keypoints (reference
+    distance2kps: x offsets add center x, y offsets add center y)."""
+    preds = []
+    for i in range(0, distance.shape[1], 2):
+        preds.append(points[:, i % 2] + distance[:, i])
+        preds.append(points[:, i % 2 + 1] + distance[:, i + 1])
+    return np.stack(preds, axis=-1)
+
+
+def decode_scrfd_with_keypoints(outs, src_hw, newh, neww, padh, padw,
+                                conf_threshold, nms_threshold,
+                                strides=(8, 16, 32), num_anchors=2,
+                                input_size=640):
+    """Pure decode of SCRFD raw head outputs -> (bboxes_xywh, indices,
+    kpss), matching /root/reference/utils/detect_face.py:66-106 including
+    the centered-pad un-mapping and cv2.dnn.NMSBoxes. Split out from the
+    network forward so the math is unit-testable without the ONNX model."""
+    import cv2
+
+    fmc = len(strides)
+    scores_list, bboxes_list, kpss_list = [], [], []
+    for idx, stride in enumerate(strides):
+        scores = np.asarray(outs[idx]).reshape(-1)
+        bbox_preds = np.asarray(outs[idx + fmc]).reshape(-1, 4) * stride
+        kps_preds = np.asarray(outs[idx + fmc * 2])
+        kps_preds = kps_preds.reshape(len(scores), -1) * stride
+        height = width = input_size // stride
+        centers = np.stack(np.mgrid[:height, :width][::-1],
+                           axis=-1).astype(np.float32)
+        centers = (centers * stride).reshape(-1, 2)
+        if num_anchors > 1:
+            centers = np.stack([centers] * num_anchors,
+                               axis=1).reshape(-1, 2)
+        pos = np.where(scores >= conf_threshold)[0]
+        bboxes = _distance2bbox(centers, bbox_preds)
+        kpss = _distance2kps(centers, kps_preds)
+        kpss = kpss.reshape((kpss.shape[0], -1, 2))
+        scores_list.append(scores[pos])
+        bboxes_list.append(bboxes[pos])
+        kpss_list.append(kpss[pos])
+
+    scores = np.hstack(scores_list)
+    bboxes = np.vstack(bboxes_list)
+    kpss = np.vstack(kpss_list) if len(scores) else \
+        np.zeros((0, 5, 2), np.float32)
+    if len(scores) == 0:
+        return np.zeros((0, 4), np.float32), [], kpss
+    bboxes[:, 2:4] = bboxes[:, 2:4] - bboxes[:, 0:2]
+    ratioh, ratiow = src_hw[0] / newh, src_hw[1] / neww
+    bboxes[:, 0] = (bboxes[:, 0] - padw) * ratiow
+    bboxes[:, 1] = (bboxes[:, 1] - padh) * ratioh
+    bboxes[:, 2] = bboxes[:, 2] * ratiow
+    bboxes[:, 3] = bboxes[:, 3] * ratioh
+    kpss[:, :, 0] = (kpss[:, :, 0] - padw) * ratiow
+    kpss[:, :, 1] = (kpss[:, :, 1] - padh) * ratioh
+    indices = cv2.dnn.NMSBoxes(bboxes.tolist(), scores.tolist(),
+                               conf_threshold, nms_threshold)
+    indices = list(np.asarray(indices).reshape(-1))
+    return bboxes, indices, kpss

@@ -45,6 +45,101 @@ def test_scrfd_anchor_centers():
     np.testing.assert_array_equal(centers[-1], [24, 24])
 
 
+def _scrfd_outs(pos_idx=6480, bbox_d=(40, 40, 40, 40),
+                kps_pad=((300, 300), (340, 340), (320, 330), (310, 350),
+                         (330, 350))):
+    """Synthetic SCRFD head outputs: one positive anchor at stride 8,
+    grid cell (40, 40) -> center (320, 320); distances in stride units."""
+    n8, n16, n32 = 80 * 80 * 2, 40 * 40 * 2, 20 * 20 * 2
+    scores = [np.zeros((1, n, 1), np.float32) for n in (n8, n16, n32)]
+    scores[0][0, pos_idx, 0] = 0.9
+    bboxes = [np.zeros((1, n, 4), np.float32) for n in (n8, n16, n32)]
+    bboxes[0][0, pos_idx] = np.asarray(bbox_d, np.float32) / 8.0
+    kpss = [np.zeros((1, n, 10), np.float32) for n in (n8, n16, n32)]
+    cx, cy = 320.0, 320.0
+    for k, (px, py) in enumerate(kps_pad):
+        kpss[0][0, pos_idx, 2 * k] = (px - cx) / 8.0
+        kpss[0][0, pos_idx, 2 * k + 1] = (py - cy) / 8.0
+    return scores + bboxes + kpss
+
+
+def _fake_scrfd(outs, conf=0.5, nms=0.4):
+    import cv2
+
+    from calipsync_tpu.vision.detectors import SCRFDDetector
+
+    det = SCRFDDetector.__new__(SCRFDDetector)
+    det.conf_threshold = conf
+    det.nms_threshold = nms
+    det.last_detection = None
+    det._cv2 = cv2
+
+    class _Net:
+        def setInput(self, blob):
+            self.blob = blob
+
+        def getUnconnectedOutLayersNames(self):
+            return tuple(str(i) for i in range(9))
+
+        def forward(self, names):
+            return outs
+
+    det.net = _Net()
+    return det
+
+
+def test_scrfd_keypoint_decode_square():
+    """Square source: no pad, unit ratio — decode must be exact
+    (reference utils/detect_face.py:66-106)."""
+    det = _fake_scrfd(_scrfd_outs())
+    img = np.zeros((640, 640, 3), np.uint8)
+    bboxes, indices, kps = det.detect_with_keypoints(img)
+    assert list(indices) == [0]
+    np.testing.assert_allclose(bboxes[0], [280, 280, 80, 80], atol=1e-4)
+    np.testing.assert_allclose(kps[0, 0], [300, 300], atol=1e-4)
+    np.testing.assert_allclose(kps[0, 1], [340, 340], atol=1e-4)
+
+
+def test_scrfd_keypoint_decode_padded_portrait():
+    """2:1 portrait source: centered width pad (padw=160) and 2x ratios
+    must un-map bboxes AND keypoints back to source coordinates."""
+    det = _fake_scrfd(_scrfd_outs())
+    img = np.zeros((1280, 640, 3), np.uint8)
+    bboxes, indices, kps = det.detect_with_keypoints(img)
+    assert list(indices) == [0]
+    np.testing.assert_allclose(bboxes[0], [240, 560, 160, 160], atol=1e-3)
+    np.testing.assert_allclose(kps[0, 0], [280, 600], atol=1e-3)
+    np.testing.assert_allclose(kps[0, 1], [360, 680], atol=1e-3)
+
+
+def test_legacy_landmark_on_real_scrfd_decode():
+    """LegacyLandmark driven by the production SCRFD keypoint decode (not
+    a stub): the eye keypoints above give a 45-degree roll; the rotate-
+    level-and-back round trip must return 110 in-range landmarks."""
+    from calipsync_tpu.nn.pfld import PFLDGhostOne, fold_mobileone_params
+    from calipsync_tpu.vision.legacy_landmark import LegacyLandmark
+    from calipsync_tpu.vision.lip_detector import LipDetector
+
+    det = _fake_scrfd(_scrfd_outs())
+    img = np.random.default_rng(1).integers(
+        0, 256, (1280, 640, 3)).astype(np.uint8)
+
+    pfld = PFLDGhostOne()
+    variables = jax.jit(pfld.init)(jax.random.key(0),
+                                   jnp.zeros((1, 192, 192, 3)))
+    # damp the random init: untrained weights can overflow fp32 on real
+    # images (trained checkpoints don't)
+    variables = jax.tree.map(lambda x: x * 0.05, variables)
+    lip = LipDetector(fold_mobileone_params(variables),
+                      np.zeros(220, np.float32), face_detector=None)
+    legacy = LegacyLandmark(lip, det)
+    results = legacy.landmarks(img)
+    assert len(results) == 1
+    pts, alpha = results[0]
+    assert pts.shape == (110, 2)
+    assert abs(alpha - 45.0) < 1e-4  # eyes (280,600) -> (360,680)
+
+
 def test_legacy_landmark_rotation_roundtrip():
     from calipsync_tpu.vision.legacy_landmark import (LegacyLandmark,
                                                       eye_roll_angle,
@@ -75,6 +170,7 @@ def test_legacy_landmark_rotation_roundtrip():
     pfld = PFLDGhostOne()
     variables = jax.jit(pfld.init)(jax.random.key(0),
                                    jnp.zeros((1, 192, 192, 3)))
+    variables = jax.tree.map(lambda x: x * 0.05, variables)
     lip = LipDetector(fold_mobileone_params(variables),
                       np.zeros(220, np.float32), face_detector=None)
     legacy = LegacyLandmark(lip, _KPDet())
