@@ -2,9 +2,16 @@
 
 Rebuild of the reference player trio
 (/root/reference/image_infer_v1/tools/frame_player/): there the PyAudio
-callback is the A/V clock (player_main.py:156-174); on this Linux image we
-pace with a monotonic wall clock at fps and treat the audio chunk as
-payload. All players implement the same interface the stream manager uses:
+callback is the A/V clock (player_main.py:156-174) — the audio device pulls
+one frame's samples per callback and the video frame is emitted at that
+instant, so video can never drift from audio. On this Linux image there is
+no audio device, so we reproduce the same invariant in software: emission
+is pegged to *cumulative audio samples played* (frame k is shown at
+``epoch + sum(len(audio_0..k-1)) / sample_rate``), with the wall clock only
+as the re-anchor fallback after starvation or a slow render. Summing
+per-frame periods would accumulate rounding/scheduling drift; the
+cumulative-samples peg cannot. All players implement the same interface
+the stream manager uses:
 
     start_playing() / stop_playing() / running
     upload_frame(dict) / get_queue_length() / get_last_queue_item()
@@ -38,18 +45,24 @@ class BasePlayer:
 
     def __init__(self, width: int = 0, height: int = 0, fps: int = 25,
                  sample_rate: int = 24_000,
-                 on_frame: Optional[Callable[[dict], None]] = None):
+                 on_frame: Optional[Callable[[dict], None]] = None,
+                 time_fn: Callable[[], float] = time.monotonic,
+                 sleep_fn: Callable[[float], None] = time.sleep):
         self.width = width
         self.height = height
         self.fps = fps
         self.SAMPLE_RATE = sample_rate
         self.samples_per_frame = sample_rate // fps
         self.running = False
+        self.samples_played = 0      # cumulative audio clock (samples)
+        self._epoch: Optional[float] = None
         self._queue: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self._last_item: Optional[dict] = None
         self._thread: Optional[threading.Thread] = None
         self._on_frame = on_frame
+        self._time = time_fn
+        self._sleep = sleep_fn
 
     # -- manager interface --
 
@@ -80,27 +93,59 @@ class BasePlayer:
 
     # -- pacing loop --
 
+    def av_drift(self) -> float:
+        """Seconds the video clock leads (+) / lags (-) the audio clock.
+
+        Zero while the pegged loop keeps up; only starvation or a
+        slower-than-realtime render re-anchors the epoch.
+        """
+        if self._epoch is None:
+            return 0.0
+        return ((self._time() - self._epoch)
+                - self.samples_played / self.SAMPLE_RATE)
+
     def _run(self) -> None:
+        """Audio-pegged pacing loop (reference player_main.py:156-174).
+
+        Frame k is emitted at ``epoch + samples_played/sample_rate`` where
+        ``samples_played`` is the running total of audio samples attached
+        to frames 0..k-1 (frames with no audio count one silent frame's
+        worth, as the reference callback emits zeros when starved). On
+        starvation or falling more than one frame behind, the epoch is
+        re-anchored to the wall clock instead of bursting to catch up —
+        exactly what a hardware audio clock would do.
+        """
         period = 1.0 / self.fps
-        next_t = time.monotonic()
+        self.samples_played = 0
+        self._epoch = self._time()
         while self.running:
             try:
                 item = self._queue.get(timeout=period)
             except queue.Empty:
-                next_t = time.monotonic()
+                # starvation: the audio device would play silence; state is
+                # untouched — the next frame's own target decides pacing
                 continue
+            # frame k's render target: when its audio would start playing
+            target = self._epoch + self.samples_played / self.SAMPLE_RATE
+            delay = target - self._time()
+            if delay > 0:
+                self._sleep(delay)
+            elif delay < -period:
+                # starved or slower-than-realtime render: wall-clock
+                # fallback — play this frame NOW and pace the rest from it
+                # instead of bursting to catch up (a hardware audio clock
+                # would do exactly this)
+                self._epoch = (self._time()
+                               - self.samples_played / self.SAMPLE_RATE)
             try:
                 self._render(item)
                 if self._on_frame is not None:
                     self._on_frame(item)
             except Exception as e:  # keep the clock alive (ref resilience)
                 print(f"player render error: {e}")
-            next_t += period
-            delay = next_t - time.monotonic()
-            if delay > 0:
-                time.sleep(delay)
-            else:
-                next_t = time.monotonic()
+            audio = item.get("audio")
+            self.samples_played += (len(audio) if audio is not None
+                                    else self.samples_per_frame)
 
     def _render(self, item: dict) -> None:  # backend hook
         pass
@@ -175,6 +220,19 @@ class WindowPlayer(BasePlayer):
     def __init__(self, window_name: str = "calipsync", **kw):
         super().__init__(**kw)
         self.window_name = window_name
+
+    def start_playing(self) -> None:
+        """Fail fast when headless instead of printing one render error
+        per frame (a GUI backend needs a display on this platform)."""
+        import sys
+
+        if (sys.platform.startswith("linux")
+                and not os.environ.get("DISPLAY")
+                and not os.environ.get("WAYLAND_DISPLAY")):
+            raise RuntimeError(
+                "WindowPlayer needs a display (DISPLAY/WAYLAND_DISPLAY "
+                "unset); use FilePlayer, RTMPPlayer or NullPlayer")
+        super().start_playing()
 
     def _render(self, item: dict) -> None:
         import cv2
@@ -263,11 +321,77 @@ class RTMPPlayer(BasePlayer):
             os.remove(self._audio_fifo)
 
 
+V4L2_BUF_TYPE_VIDEO_OUTPUT = 2
+V4L2_FIELD_NONE = 1
+V4L2_PIX_FMT_BGR24 = (ord("B") | ord("G") << 8 | ord("R") << 16
+                      | ord("3") << 24)
+# _IOWR('V', 5, struct v4l2_format): sizeof == 208 on 64-bit Linux
+VIDIOC_S_FMT = (3 << 30) | (208 << 16) | (ord("V") << 8) | 5
+
+
+def v4l2_output_format(width: int, height: int) -> bytearray:
+    """Build a ``struct v4l2_format`` for a BGR24 VIDEO_OUTPUT device
+    (linux/videodev2.h). 64-bit layout: u32 ``type`` at offset 0, the
+    fmt union (8-byte aligned — v4l2_window holds pointers) at offset 8,
+    with v4l2_pix_format's 12 u32 fields packed inside."""
+    import struct
+
+    buf = bytearray(208)
+    struct.pack_into("I", buf, 0, V4L2_BUF_TYPE_VIDEO_OUTPUT)
+    struct.pack_into(
+        "12I", buf, 8,
+        width, height, V4L2_PIX_FMT_BGR24, V4L2_FIELD_NONE,
+        width * 3,              # bytesperline
+        width * height * 3,     # sizeimage
+        0, 0, 0, 0, 0, 0)       # colorspace..xfer_func: driver defaults
+    return buf
+
+
 class VirtualCamPlayer(BasePlayer):
-    """Interface stub: pyvirtualcam is not available in this image
-    (reference player_cam.py:16-126). Raises on start."""
+    """Virtual webcam via a v4l2loopback output device — the Linux-native
+    equivalent of the reference's pyvirtualcam backend (player_cam.py:
+    16-126; on Linux pyvirtualcam itself drives v4l2loopback). Raw BGR24
+    frames are written straight to ``/dev/videoN`` after one
+    VIDIOC_S_FMT ioctl; consumers (browsers, OBS, cv2.VideoCapture) see a
+    webcam. Requires the v4l2loopback kernel module to provide the
+    device; fails fast with guidance when absent."""
+
+    def __init__(self, device: str = "/dev/video0", width: int = 480,
+                 height: int = 480, **kw):
+        super().__init__(width=width, height=height, **kw)
+        self.device = device
+        self._fd: Optional[int] = None
 
     def start_playing(self) -> None:
-        raise NotImplementedError(
-            "pyvirtualcam backend not available on this image; use "
-            "WindowPlayer, RTMPPlayer or FilePlayer")
+        import fcntl
+
+        if not os.path.exists(self.device):
+            raise RuntimeError(
+                f"virtual camera device {self.device} not found — load "
+                "v4l2loopback (modprobe v4l2loopback) or use "
+                "WindowPlayer/RTMPPlayer/FilePlayer")
+        self._fd = os.open(self.device, os.O_RDWR)
+        try:
+            fcntl.ioctl(self._fd, VIDIOC_S_FMT,
+                        v4l2_output_format(self.width, self.height))
+        except OSError:
+            os.close(self._fd)
+            self._fd = None
+            raise
+        super().start_playing()
+
+    def _render(self, item: dict) -> None:
+        import cv2
+
+        if self._fd is None:
+            return
+        frame = item["frame"]
+        if frame.shape[:2] != (self.height, self.width):
+            frame = cv2.resize(frame, (self.width, self.height))
+        os.write(self._fd, np.ascontiguousarray(frame).tobytes())
+
+    def stop_playing(self) -> None:
+        super().stop_playing()
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None

@@ -49,7 +49,7 @@ class StreamingVideoManager:
                  player, buffer_threshold: int = 25,
                  synthesis_window_seconds: float = 1.0,
                  output_sample_rate: int = 24_000, fps: int = 25,
-                 is_interrupt: bool = False):
+                 is_interrupt: bool = False, error_backoff_s: float = 1.0):
         self.synthesizer = synthesizer
         self.hubert = hubert_extractor
         self.player = player
@@ -61,6 +61,8 @@ class StreamingVideoManager:
         self.synthesis_frame_count = int(fps * synthesis_window_seconds)
         self.buffer_threshold = buffer_threshold
         self.is_interrupt = is_interrupt
+        self.error_backoff_s = error_backoff_s
+        self.producer_errors = 0
 
         self.audio_queues: dict[str, Queue] = {"normal": Queue(),
                                                "danmu": Queue()}
@@ -230,9 +232,15 @@ class StreamingVideoManager:
                 m.gauge("serve.player_buffer",
                         self.player.get_queue_length())
             except Exception as e:
+                # Catch-and-backoff keeps the stream alive through transient
+                # synthesis/IO failures (reference infer_api.py:309-315).
+                self.producer_errors += 1
                 print(f"stream producer error: {e}")
                 traceback.print_exc()
-                time.sleep(1.0)
+                from calipsync_tpu.metrics import global_metrics
+
+                global_metrics().count("serve.producer_errors")
+                time.sleep(self.error_backoff_s)
 
     # ------------- lifecycle -------------
 
