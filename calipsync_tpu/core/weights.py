@@ -30,13 +30,24 @@ Array = np.ndarray
 SD = Mapping[str, Array]
 
 
-def load_torch_state_dict(path: str) -> Dict[str, Array]:
-    """Load a torch .pth/.pth.tar into numpy arrays (torch only needed here)."""
+def load_torch_state_dict(path: str, key: str | None = None
+                          ) -> Dict[str, Array]:
+    """Load a torch .pth/.pth.tar into numpy arrays (torch only needed here).
+
+    Handles the reference's real checkpoint wrappers: a bare state_dict, a
+    ``{'state_dict': ...}`` wrapper (image_infer_v1/models/unet.py:330-334),
+    or — via ``key`` — a named sub-dict such as ``'pfld_backbone'`` in the
+    landmark tar (utils/lip_detector/lip_detector.py:24-25).
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
+    if key is not None:
+        obj = obj[key]
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        obj = obj.state_dict()
     return {k: v.detach().cpu().numpy() for k, v in obj.items()
             if hasattr(v, "detach")}
 

@@ -1,0 +1,276 @@
+"""Importer key-schema coverage against the REAL checkpoint layouts.
+
+The real pretrained files are not in this image, so these tests build
+fixture state_dicts with the reference's documented on-disk layouts and
+prove two things for every importer (VERDICT r1 item 9):
+
+  1. the importer CONSUMES every key of the real schema (nothing silently
+     dropped — a renamed/moved key would show up as unconsumed);
+  2. the reference's checkpoint *wrappers* load: the bare state_dict and
+     ``{'state_dict': ...}`` forms (image_infer_v1/models/unet.py:330-334),
+     the ``'pfld_backbone'``-keyed landmark tar
+     (utils/lip_detector/lip_detector.py:24-25), and both HF weight-norm
+     parametrizations of the HuBERT positional conv.
+
+Keys the reference itself never loads into compute (BN bookkeeping,
+torchvision's classifier head behind ``vgg19().features``,
+training-only embeddings) are the explicit allowlists below.
+"""
+
+import importlib.util
+import sys
+import types
+from collections.abc import Mapping
+
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+
+
+class TrackingDict(Mapping):
+    """state_dict wrapper recording which keys an importer reads."""
+
+    def __init__(self, sd):
+        self._sd = dict(sd)
+        self.accessed: set[str] = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return self._sd[k]
+
+    def get(self, k, default=None):
+        if k in self._sd:
+            return self[k]
+        return default
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+    def unconsumed(self, allow_substrings=()):
+        return sorted(k for k in self._sd
+                      if k not in self.accessed
+                      and not any(s in k for s in allow_substrings))
+
+
+def _numpy_sd(module):
+    return {k: v.detach().cpu().numpy()
+            for k, v in module.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_hubert():
+    """Tiny HF HubertModel in the LARGE config's family (layer-norm feature
+    extractor + stable layer norm), as utils/hubert.py loads."""
+    import torch
+    from transformers import HubertConfig as HFConfig
+    from transformers import HubertModel as HFModel
+
+    from calipsync_tpu.nn.hubert import HubertConfig
+
+    hf_cfg = HFConfig(
+        hidden_size=24, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, conv_dim=[16, 16, 16],
+        conv_kernel=[10, 3, 2], conv_stride=[5, 2, 2], conv_bias=True,
+        feat_extract_norm="layer", do_stable_layer_norm=True,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        layerdrop=0.0, do_normalize=True)
+    torch.manual_seed(0)
+    return HFModel(hf_cfg).eval(), HubertConfig.from_hf(hf_cfg)
+
+
+BN_BOOKKEEPING = ("num_batches_tracked",)
+
+
+# ---------------------------------------------------------------------------
+# per-importer full-coverage checks
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["hubert", "wenet"])
+def test_generator_importer_consumes_every_key(reference_modules, mode):
+    from calipsync_tpu.core.weights import import_generator
+
+    ref = reference_modules.Model(6, mode).eval()
+    sd = TrackingDict(_numpy_sd(ref))
+    import_generator(sd, mode=mode)
+    assert sd.unconsumed(BN_BOOKKEEPING) == []
+
+
+def test_syncnet_importer_consumes_every_key(reference_path):
+    sys.path.insert(0, str(reference_path))
+    from module.syncnet import SyncNet_color
+
+    from calipsync_tpu.nn.syncnet import import_syncnet
+
+    ref = SyncNet_color("hubert").eval()
+    sd = TrackingDict(_numpy_sd(ref))
+    import_syncnet(sd, mode="hubert")
+    assert sd.unconsumed(BN_BOOKKEEPING) == []
+
+
+def _load_ref_pfld(reference_path):
+    tools = reference_path / "utils" / "lip_detector" / "tools"
+    pkg = types.ModuleType("ref_pfld_pkg_ks")
+    pkg.__path__ = [str(tools)]
+    sys.modules["ref_pfld_pkg_ks"] = pkg
+    for name in ("base_module", "pfld_mobileone"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_pfld_pkg_ks.{name}", tools / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_pfld_pkg_ks.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["ref_pfld_pkg_ks.pfld_mobileone"]
+
+
+def test_pfld_importer_consumes_every_key(reference_path):
+    from calipsync_tpu.nn.pfld import import_pfld
+
+    ref_pfld = _load_ref_pfld(reference_path)
+    ref = ref_pfld.PFLD_GhostOne(0.5, 192, 110).eval()
+    sd = TrackingDict(_numpy_sd(ref))
+    import_pfld(sd)
+    # 'localization' is an STN branch the reference DEFINES but never calls
+    # in forward (pfld_mobileone.py:90 — dead params in the checkpoint)
+    assert sd.unconsumed(BN_BOOKKEEPING + ("localization.",)) == []
+
+
+def test_pfld_tar_wrapper_roundtrip(reference_path, tmp_path):
+    """The real landmark checkpoint is a tar keyed 'pfld_backbone'
+    (+ optimizer state the reference discards) — load via that key."""
+    import torch
+
+    from calipsync_tpu.core.weights import load_torch_state_dict
+    from calipsync_tpu.nn.pfld import PFLDGhostOne, import_pfld
+
+    ref_pfld = _load_ref_pfld(reference_path)
+    ref = ref_pfld.PFLD_GhostOne(0.5, 192, 110).eval()
+    path = str(tmp_path / "checkpoint_epoch_335.pth.tar")
+    torch.save({"epoch": 335,
+                "pfld_backbone": ref.state_dict(),
+                "optimizer": {"lr": 1e-4}}, path)
+    sd = load_torch_state_dict(path, key="pfld_backbone")
+    variables = import_pfld(sd)
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+    out = jax.jit(lambda v, x: PFLDGhostOne().apply(
+        v, x, train=False))(variables, x)
+    assert out.shape == (1, 110 * 2) and bool(np.isfinite(out).all())
+
+
+def test_s3fd_importer_consumes_every_key(reference_path):
+    s3fd_dir = reference_path / "utils" / "lip_detector" / "tools" / "s3fd"
+    pkg = types.ModuleType("ref_s3fd_pkg_ks")
+    pkg.__path__ = [str(s3fd_dir)]
+    sys.modules["ref_s3fd_pkg_ks"] = pkg
+    for name in ("box_utils", "nets"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_s3fd_pkg_ks.{name}", s3fd_dir / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_s3fd_pkg_ks.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+
+    from calipsync_tpu.nn.s3fd import import_s3fd
+
+    net = pkg.nets.S3FDNet(device="cpu").eval()
+    sd = TrackingDict(_numpy_sd(net))
+    import_s3fd(sd)
+    assert sd.unconsumed(BN_BOOKKEEPING) == []
+
+
+def test_vgg19_importer_covers_torchvision_layout():
+    """The real file is the full torchvision vgg19 (vgg19-dcbb9e9d.pth);
+    the reference uses only ``.features`` up to conv3_3
+    (step2_train_unet.py:14-25) — classifier keys are the allowlist."""
+    from calipsync_tpu.nn.vgg import _LAYERS, import_vgg19_features
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    in_ch = 3
+    for idx, width, _, _ in _LAYERS:
+        sd[f"features.{idx}.weight"] = rng.standard_normal(
+            (width, in_ch, 3, 3)).astype(np.float32)
+        sd[f"features.{idx}.bias"] = rng.standard_normal(
+            (width,)).astype(np.float32)
+        in_ch = width
+    # remaining torchvision keys our feature trunk never uses
+    sd["classifier.0.weight"] = np.zeros((4096, 25088), np.float32)
+    sd["classifier.0.bias"] = np.zeros((4096,), np.float32)
+    tracked = TrackingDict(sd)
+    variables = import_vgg19_features(tracked)
+    assert tracked.unconsumed(("classifier.",)) == []
+    n_convs = len({k for k in sd if k.endswith(".weight")
+                   and k.startswith("features.")})
+    assert len(variables["params"]) == n_convs
+
+
+def test_hubert_importer_consumes_every_key(tiny_hf_hubert):
+    from calipsync_tpu.nn.hubert import import_hubert
+
+    hf_model, cfg = tiny_hf_hubert
+    sd = TrackingDict(_numpy_sd(hf_model))
+    import_hubert(sd, cfg)
+    # masked_spec_embed is SpecAugment training state the reference's
+    # eval-mode extractor never applies (utils/hubert.py inference path)
+    assert sd.unconsumed(BN_BOOKKEEPING + ("masked_spec_embed",)) == []
+
+
+def test_hubert_parametrizations_pos_conv_layout(tiny_hf_hubert):
+    """Modern torch saves weight_norm as parametrizations.weight.original0/1
+    instead of weight_g/weight_v; both must import to identical params."""
+    import jax
+
+    from calipsync_tpu.nn.hubert import import_hubert
+
+    hf_model, cfg = tiny_hf_hubert
+    sd = _numpy_sd(hf_model)
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_g" in sd:
+        old_g, old_v = f"{pc}.weight_g", f"{pc}.weight_v"
+        new_g = f"{pc}.parametrizations.weight.original0"
+        new_v = f"{pc}.parametrizations.weight.original1"
+    else:
+        old_g = f"{pc}.parametrizations.weight.original0"
+        old_v = f"{pc}.parametrizations.weight.original1"
+        new_g, new_v = f"{pc}.weight_g", f"{pc}.weight_v"
+    renamed = {k: v for k, v in sd.items() if k not in (old_g, old_v)}
+    renamed[new_g] = sd[old_g]
+    renamed[new_v] = sd[old_v]
+
+    a = import_hubert(sd, cfg)
+    b = import_hubert(renamed, cfg)
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_state_dict_wrapper_forms(reference_modules, tmp_path):
+    """Both real UNet checkpoint forms load: bare state_dict and
+    {'state_dict': ...} (image_infer_v1/models/unet.py:330-334)."""
+    import torch
+
+    from calipsync_tpu.core.weights import (import_generator,
+                                            load_torch_state_dict)
+
+    ref = reference_modules.Model(6, "hubert").eval()
+    bare = str(tmp_path / "bare.pth")
+    wrapped = str(tmp_path / "wrapped.pth")
+    torch.save(ref.state_dict(), bare)
+    torch.save({"state_dict": ref.state_dict(), "epoch": 140}, wrapped)
+
+    v1 = import_generator(load_torch_state_dict(bare))
+    v2 = import_generator(load_torch_state_dict(wrapped))
+    import jax
+
+    for x, y in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
