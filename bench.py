@@ -11,6 +11,11 @@ headline is the driver metric:
 Extra keys (same JSON object):
   compute_only_fps   device dispatch + compute only, no d2h/compositing —
                      separates chip headroom from tunnel bandwidth
+  transfer_format    'yuv420' by default: the device packs planar I420
+                     (half the d2h bytes; free in delivered quality —
+                     every sink re-encodes 4:2:0). bgr_fps reports the
+                     reference-exact uint8-BGR transfer on the same run
+                     for an apples-to-apples tunnel comparison.
   realistic_720p     2,500 frames (100 s clip) at 1280x720 portrait with
                      the host frame cache deliberately capped BELOW the
                      clip length: steady-state JPEG decode on misses, with
@@ -136,6 +141,7 @@ def main() -> None:
     res = int(os.environ.get("BENCH_RES", "480"))
     depth = int(os.environ.get("BENCH_DEPTH", "6"))
     full = os.environ.get("BENCH_FULL", "1") == "1"
+    transfer = os.environ.get("BENCH_TRANSFER", "yuv420")
 
     model = Generator(dtype=dtype)
     variables = jax.jit(model.init)(jax.random.key(0),
@@ -149,15 +155,26 @@ def main() -> None:
         data_dir = make_synthetic_speaker(tmp, res=res)
         synth = FrameSynthesizer(variables, data_dir, model=model,
                                  batch_size=batch, seed=0,
-                                 pipeline_depth=depth)
+                                 pipeline_depth=depth,
+                                 transfer_format=transfer)
         # two warm passes: compile + executable load + frame caches, on
         # exactly the measured shapes
         fps = _measured_fps(synth, feats, warm_passes=2)
         compute_fps = _compute_only_fps(synth, feats)
+        bgr_fps = None
+        if transfer != "bgr":
+            ref_synth = FrameSynthesizer(variables, data_dir, model=model,
+                                         batch_size=batch, seed=0,
+                                         pipeline_depth=depth,
+                                         transfer_format="bgr")
+            bgr_fps = _measured_fps(ref_synth, feats, warm_passes=1)
 
     out = {"metric": "lipsync_fps_per_chip", "value": round(fps, 2),
            "unit": "frames/s", "vs_baseline": round(fps / 250.0, 3),
-           "compute_only_fps": round(compute_fps, 2)}
+           "compute_only_fps": round(compute_fps, 2),
+           "transfer_format": transfer}
+    if bgr_fps is not None:
+        out["bgr_fps"] = round(bgr_fps, 2)
 
     if full:
         n_real = int(os.environ.get("BENCH_REAL_FRAMES", "2500"))
@@ -170,7 +187,8 @@ def main() -> None:
             synth = FrameSynthesizer(variables, data_dir, model=model,
                                      batch_size=batch, seed=0,
                                      pipeline_depth=depth,
-                                     max_cached_frames=cache_cap)
+                                     max_cached_frames=cache_cap,
+                                     transfer_format=transfer)
             r_fps = _measured_fps(synth, real_feats, warm_passes=1)
             r_compute = _compute_only_fps(synth, real_feats)
             out["realistic_720p"] = {

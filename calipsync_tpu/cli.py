@@ -115,7 +115,8 @@ def cmd_infer(args):
     model = build_model(cfg.model, axis_name=None)
     synth = FrameSynthesizer(variables, args.assets, model=model,
                              batch_size=cfg.infer.batch_size,
-                             crop=cfg.crop, seed=args.seed)
+                             crop=cfg.crop, seed=args.seed,
+                             transfer_format=cfg.infer.transfer_format)
     mgr = VideoStreamManager(synth, build_hubert(args.hubert),
                              fps=cfg.infer.fps)
     out = mgr.process_single_file(args.audio, args.out)
@@ -159,7 +160,8 @@ def cmd_serve(args):
     variables = load_generator_variables(args.ckpt, cfg)
     model = build_model(cfg.model, axis_name=None)
     synth = FrameSynthesizer(variables, args.assets, model=model,
-                             batch_size=cfg.infer.batch_size, crop=cfg.crop)
+                             batch_size=cfg.infer.batch_size, crop=cfg.crop,
+                             transfer_format=cfg.infer.transfer_format)
 
     if args.player == "window":
         player = WindowPlayer(fps=cfg.infer.fps)

@@ -83,6 +83,10 @@ class InferConfig:
     buffer_threshold_s: float = 1.0    # streaming synthesis window
     motion_min_pct: int = 5            # ping-pong segment length, % of total
     motion_max_pct: int = 15
+    # 'yuv420': device packs planar I420 predictions — half the d2h bytes,
+    # lossless in delivered quality for 4:2:0 sinks (RTMP/mp4). 'bgr' is
+    # the reference-exact byte-for-byte transfer (used by parity tests).
+    transfer_format: str = "yuv420"
 
 
 @dataclass(frozen=True)

@@ -40,11 +40,60 @@ from calipsync_tpu.nn.unet import Generator
 from calipsync_tpu.vision.geometry import (CropParams, mouth_bbox_infer)
 
 
-def make_generate_fn(model: Generator):
+def yuv420_pack(pred255: jax.Array) -> jax.Array:
+    """Device-side BGR -> planar I420 pack: (B, S, S, 3) float in [0, 255]
+    -> (B, S*S*3//2) uint8 [Y plane | U plane | V plane].
+
+    Halves the device->host bytes per frame (the serving bottleneck on
+    this tunnel is d2h bandwidth, not chip FLOPs) and is *free* in
+    delivered quality: both reference sinks re-encode 4:2:0 anyway — the
+    RTMP pusher's NVENC yuv420p (player_rtmp_windows.py:65-93) and any
+    mp4 x264 mux. Video-range BT.601, the exact pair of OpenCV's
+    COLOR_YUV2BGR_I420 on the host; chroma is a 2x2 mean (higher fidelity
+    than cv2's own top-left subsample). Rounded, not truncated — the path
+    is already lossy, rounding halves the quantization error.
+    """
+    b, g, r = pred255[..., 0], pred255[..., 1], pred255[..., 2]
+    y = 16.0 + (65.738 * r + 129.057 * g + 25.064 * b) * (1.0 / 256.0)
+    u = 128.0 + (-37.945 * r - 74.494 * g + 112.439 * b) * (1.0 / 256.0)
+    v = 128.0 + (112.439 * r - 94.154 * g - 18.285 * b) * (1.0 / 256.0)
+
+    def sub(c):  # 2x2 mean chroma
+        n, h, w = c.shape
+        return c.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+
+    def q(c):
+        return jnp.clip(jnp.round(c), 0.0, 255.0).astype(jnp.uint8)
+
+    n = pred255.shape[0]
+    return jnp.concatenate([q(y).reshape(n, -1),
+                            q(sub(u)).reshape(n, -1),
+                            q(sub(v)).reshape(n, -1)], axis=1)
+
+
+def yuv420_unpack(flat_u8: np.ndarray, size: int) -> np.ndarray:
+    """Host-side inverse of :func:`yuv420_pack` for ONE frame:
+    (S*S*3//2,) uint8 -> (S, S, 3) uint8 BGR via OpenCV's I420 decode."""
+    return cv2.cvtColor(flat_u8.reshape(size * 3 // 2, size),
+                        cv2.COLOR_YUV2BGR_I420)
+
+
+def _pack_pred(pred, transfer_format: str):
+    """Common output packing: model output (B,S,S,3) float [0,1] -> flat
+    uint8 rows for d2h. 'bgr' keeps the reference's exact quantization
+    (float*255 C-cast truncation); 'yuv420' halves the bytes."""
+    pred = pred * 255.0
+    if transfer_format == "yuv420":
+        return yuv420_pack(pred)
+    return pred.astype(jnp.uint8).reshape(pred.shape[0], -1)
+
+
+def make_generate_fn(model: Generator, transfer_format: str = "bgr"):
     """Jitted end-to-end device step: uint8 crops -> uint8 mouth frames.
 
     fn(variables, ref_u8 (B,160,160,3), masked_u8 (B,160,160,3),
-       audio_feats (T,2,1024), indices (B,)) -> (B,160,160,3) uint8
+       audio_feats (T,2,1024), indices (B,)) -> (B, S) uint8 flat rows
+    (S = size*size*3 for 'bgr', size*size*3//2 for 'yuv420')
     """
     @jax.jit
     def fn(variables, ref_u8, masked_u8, audio_feats, indices):
@@ -54,15 +103,13 @@ def make_generate_fn(model: Generator):
         audio = batched_windows(audio_feats, indices,
                                 mode=model.mode).astype(dtype)
         pred = model.apply(variables, imgs, audio, train=False)
-        # reference quantization: float*255 -> uint8 C-cast (truncation);
-        # flat return for fast d2h (see make_generate_resident_fn)
-        pred = (pred * 255.0).astype(jnp.uint8)
-        return pred.reshape(pred.shape[0], -1)
+        return _pack_pred(pred, transfer_format)
 
     return fn
 
 
-def make_generate_resident_fn(model: Generator, crop: CropConfig):
+def make_generate_resident_fn(model: Generator, crop: CropConfig,
+                              transfer_format: str = "bgr"):
     """Device-resident variant: the speaker's mouth crops live in HBM once
     and batches are addressed by index, so the host sends only two tiny
     int32 vectors per step. Masking is recomputed on device (a zeroed
@@ -91,14 +138,14 @@ def make_generate_resident_fn(model: Generator, crop: CropConfig):
         audio = batched_windows(audio_feats, feat_idx,
                                 mode=model.mode).astype(dtype)
         pred = model.apply(variables, imgs, audio, train=False)
-        pred = (pred * 255.0).astype(jnp.uint8)
-        return pred.reshape(-1, size * size * 3)
+        return _pack_pred(pred, transfer_format)
 
     return fn
 
 
 def make_generate_resident_sharded_fn(model: Generator, crop: CropConfig,
-                                      mesh, axis_name: str = "data"):
+                                      mesh, axis_name: str = "data",
+                                      transfer_format: str = "bgr"):
     """Multi-chip variant of :func:`make_generate_resident_fn`: the batch
     (phys_idx/feat_idx and the returned predictions) is sharded over the
     mesh's data axis while the crop store, audio features and params are
@@ -121,8 +168,7 @@ def make_generate_resident_sharded_fn(model: Generator, crop: CropConfig,
         audio = batched_windows(audio_feats, feat_idx,
                                 mode=model.mode).astype(dtype)
         pred = model.apply(variables, imgs, audio, train=False)
-        pred = (pred * 255.0).astype(jnp.uint8)
-        return pred.reshape(-1, size * size * 3)
+        return _pack_pred(pred, transfer_format)
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -174,7 +220,8 @@ class FrameSynthesizer:
                  max_cached_frames: int = 4000,
                  preload: bool = True,
                  mesh=None, axis_name: str = "data",
-                 pipeline_depth: int = 3):
+                 pipeline_depth: int = 3,
+                 transfer_format: str = "bgr"):
         """
         Args:
           variables: generator {'params','batch_stats'} (imported or trained)
@@ -202,6 +249,12 @@ class FrameSynthesizer:
             worker threads and partially parallelize (~20% measured), so
             depth >2 overlaps transfer of batch k with compute of k+1 and
             compositing of k-1.
+          transfer_format: 'bgr' (reference-exact uint8 crops) or 'yuv420'
+            (device packs planar I420 — HALF the d2h bytes per frame; the
+            host decodes via cv2. Free in delivered quality when the sink
+            re-encodes 4:2:0, i.e. RTMP/mp4, which is every reference
+            player backend; measured full-frame PSNR vs 'bgr' output is
+            recorded in tests/test_synthesizer.py).
         """
         self.data_dir = data_dir
         self.batch_size = batch_size
@@ -214,8 +267,11 @@ class FrameSynthesizer:
         self.model = model or Generator()
         self.variables = variables
         self.mesh = mesh
+        if transfer_format not in ("bgr", "yuv420"):
+            raise ValueError(f"unknown transfer_format: {transfer_format}")
+        self.transfer_format = transfer_format
         self._replicate = lambda x: x
-        self._generate = make_generate_fn(self.model)
+        self._generate = make_generate_fn(self.model, transfer_format)
         if mesh is not None:
             if not preload:
                 raise ValueError("mesh sharding requires preload=True")
@@ -227,10 +283,10 @@ class FrameSynthesizer:
             self._replicate = lambda x: jax.device_put(x, rep)
             self.variables = jax.tree.map(self._replicate, variables)
             self._generate_resident = make_generate_resident_sharded_fn(
-                self.model, crop, mesh, axis_name)
+                self.model, crop, mesh, axis_name, transfer_format)
         else:
-            self._generate_resident = make_generate_resident_fn(self.model,
-                                                                crop)
+            self._generate_resident = make_generate_resident_fn(
+                self.model, crop, transfer_format)
         self.executor = ThreadPoolExecutor(max_workers=max(4, batch_size))
         self.sequencer = PingPongSequencer(
             self.total_frames, np.random.default_rng(seed))
@@ -368,7 +424,10 @@ class FrameSynthesizer:
             return [e["img"].copy() for e in entries]
         cfg = self.crop
         preds = np.asarray(preds_dev)[:len(entries)]  # blocks on d2h
-        preds = preds.reshape(-1, cfg.size, cfg.size, 3)
+        if self.transfer_format == "yuv420":
+            preds = np.stack([yuv420_unpack(p, cfg.size) for p in preds])
+        else:
+            preds = preds.reshape(-1, cfg.size, cfg.size, 3)
         out = []
         for i, e in enumerate(entries):
             try:

@@ -52,12 +52,14 @@ class MultiStreamSynthesizer:
                  model: Optional[Generator] = None, batch_size: int = 64,
                  crop: CropConfig = CropConfig(), seed: int = 0,
                  mesh=None, axis_name: str = "data",
-                 feature_bucket: int = 512):
+                 feature_bucket: int = 512,
+                 transfer_format: str = "bgr"):
         self.model = model or Generator()
         self.crop = crop
         self.batch_size = batch_size
         self.mesh = mesh
         self.feature_bucket = feature_bucket
+        self.transfer_format = transfer_format
         self._rng = np.random.default_rng(seed)
 
         # per-speaker frame caches via plain FrameSynthesizers (no preload
@@ -86,11 +88,12 @@ class MultiStreamSynthesizer:
             self._put = lambda x: jax.device_put(x, rep)
             self.variables = jax.tree.map(self._put, variables)
             self._generate = make_generate_resident_sharded_fn(
-                self.model, crop, mesh, axis_name)
+                self.model, crop, mesh, axis_name, transfer_format)
         else:
             self._put = jax.device_put
             self.variables = variables
-            self._generate = make_generate_resident_fn(self.model, crop)
+            self._generate = make_generate_resident_fn(self.model, crop,
+                                                       transfer_format)
         self._crops_dev = self._put(combined)
 
         self._streams: Dict[str, _Stream] = {}
@@ -170,8 +173,15 @@ class MultiStreamSynthesizer:
         preds_all = np.empty((len(jobs), self.crop.size, self.crop.size, 3),
                              np.uint8)
         for start, n, preds in pending:
-            preds_all[start:start + n] = np.asarray(preds)[:n].reshape(
-                -1, self.crop.size, self.crop.size, 3)
+            rows = np.asarray(preds)[:n]
+            if self.transfer_format == "yuv420":
+                from calipsync_tpu.infer.synthesizer import yuv420_unpack
+
+                preds_all[start:start + n] = np.stack(
+                    [yuv420_unpack(r, self.crop.size) for r in rows])
+            else:
+                preds_all[start:start + n] = rows.reshape(
+                    -1, self.crop.size, self.crop.size, 3)
 
         out: Dict[str, List[dict]] = {sid: [] for sid in requests}
         for (st, spk, phys_g, _, entry), pred in zip(jobs, preds_all):

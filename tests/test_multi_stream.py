@@ -83,3 +83,23 @@ def test_consecutive_windows_continue_streams(synthetic_step3_dir,
     # ping-pong walk continues (physical indices adjacent across windows)
     assert abs(second[0]["physical_index"]
                - first[-1]["physical_index"]) == 1
+
+
+def test_multistream_yuv420_transfer(synthetic_step3_dir, gen_variables):
+    """yuv420 packing works through the shared batcher too: frames match
+    the bgr multi-stream output at high PSNR."""
+    from calipsync_tpu.eval import batch_psnr
+
+    model, variables = gen_variables
+    feats = np.random.default_rng(9).standard_normal(
+        (6, 2, 1024)).astype(np.float32)
+    frames = {}
+    for fmt in ("bgr", "yuv420"):
+        ms = MultiStreamSynthesizer(variables, [str(synthetic_step3_dir)],
+                                    model=model, batch_size=8,
+                                    transfer_format=fmt)
+        ms.add_stream("a", speaker=0, seed=7)
+        frames[fmt] = [g["frame"]
+                       for g in ms.synthesize_windows({"a": feats})["a"]]
+    scores = batch_psnr(np.stack(frames["bgr"]), np.stack(frames["yuv420"]))
+    assert scores.min() > 38.0, scores

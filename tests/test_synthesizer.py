@@ -207,3 +207,55 @@ def test_composite_touches_only_face_region(synthetic_step3_dir,
             ymax = ymin + (xmax - xmin)
             assert ys.min() >= ymin and ys.max() < ymax
             assert xs.min() >= xmin and xs.max() < xmax
+
+
+def test_yuv420_pack_matches_cv2_planes():
+    """Device I420 pack == OpenCV's video-range BT.601 within fixed-point
+    rounding (+-1 on Y; chroma vs the float 2x2-mean spec, also +-1)."""
+    import cv2
+
+    from calipsync_tpu.infer.synthesizer import yuv420_pack, yuv420_unpack
+
+    rng = np.random.default_rng(0)
+    crops = rng.integers(0, 256, (3, 160, 160, 3), np.uint8)
+    packed = np.asarray(jax.jit(yuv420_pack)(
+        jnp.asarray(crops, jnp.float32)))
+    assert packed.shape == (3, 160 * 160 * 3 // 2)
+
+    for i in range(3):
+        ref = cv2.cvtColor(crops[i], cv2.COLOR_BGR2YUV_I420)
+        ours_y = packed[i, :25600].reshape(160, 160)
+        assert np.abs(ours_y.astype(int) - ref[:160].astype(int)).max() <= 1
+        # chroma spec: video-range float U/V, 2x2 mean, rounded
+        b, g, r = [crops[i][..., c].astype(np.float64) for c in range(3)]
+        u = 128 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256
+        v = 128 + (112.439 * r - 94.154 * g - 18.285 * b) / 256
+        for plane, full in ((packed[i, 25600:32000], u),
+                            (packed[i, 32000:], v)):
+            want = np.round(full.reshape(80, 2, 80, 2).mean(axis=(1, 3)))
+            got = plane.reshape(80, 80).astype(np.float64)
+            assert np.abs(got - want).max() <= 1
+        # and the host unpack round-trips through cv2 cleanly
+        back = yuv420_unpack(packed[i], 160)
+        assert back.shape == (160, 160, 3)
+
+
+def test_yuv420_streaming_matches_bgr_at_high_psnr(synthetic_step3_dir,
+                                                   gen_variables):
+    """The half-bandwidth yuv420 transfer path produces frames visually
+    identical to the reference-exact bgr path (only chroma subsampling +
+    rounding differ; every sink re-encodes 4:2:0 anyway)."""
+    from calipsync_tpu.eval import batch_psnr
+
+    model, variables = gen_variables
+    feats = np.random.default_rng(5).standard_normal(
+        (8, 2, 1024)).astype(np.float32)
+    frames = {}
+    for fmt in ("bgr", "yuv420"):
+        synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                                 model=model, batch_size=4, seed=11,
+                                 transfer_format=fmt)
+        frames[fmt] = [it["frame"]
+                       for it in synth.iterate_synthesized_frames(feats)]
+    scores = batch_psnr(np.stack(frames["bgr"]), np.stack(frames["yuv420"]))
+    assert scores.min() > 38.0, scores
