@@ -5,8 +5,11 @@ The reference keeps the detector pluggable
 implementations; same here:
 
   - S3FD (active default): nn/s3fd.py — fully in-repo, JAX backbone.
+  - YOLOv8n-face NATIVE: nn/yolo.py — full JAX implementation of the
+    reference's active detector family (backbone+PAN+DFL/kpt head) with an
+    ultralytics-checkpoint importer; re-exported here.
   - YOLOv8-face adapter: wraps ultralytics when installed (the reference's
-    active path, detect_face_yolo.py:4-42) — gated; this image has no
+    exact runtime, detect_face_yolo.py:4-42) — gated; this image has no
     ultralytics.
   - SCRFD: anchor-based ONNX detector via cv2.dnn (reference
     utils/detect_face.py:6-106), FPN strides 8/16/32, 2 anchors/cell.
@@ -22,6 +25,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from calipsync_tpu.nn.s3fd import S3FDDetector, nms_np  # re-export
+from calipsync_tpu.nn.yolo import (YoloV8FaceDetector,  # noqa: F401
+                                   import_yolov8_face)
 
 Detection = Tuple[np.ndarray, list]
 
