@@ -25,6 +25,11 @@ import os
 
 
 def build_lip_detector(weights_dir: str, dtype=None):
+    """Weights dir -> LipDetector. Detector priority mirrors the
+    reference's (lip_detector.py:12-22, yolov8n-face active): a
+    ``yolov8n_face_state_dict.pth`` (plain state_dict — dump once with
+    ``YOLO(p).model.state_dict()`` where ultralytics exists) selects the
+    native JAX YOLOv8-face; otherwise S3FD (``sfd_face.pth``)."""
     from calipsync_tpu.core.weights import load_torch_state_dict
     from calipsync_tpu.nn.pfld import fold_mobileone_params, import_pfld
     from calipsync_tpu.nn.s3fd import S3FDDetector, import_s3fd
@@ -32,12 +37,23 @@ def build_lip_detector(weights_dir: str, dtype=None):
                                                    load_mean_face)
 
     mean_face = load_mean_face(os.path.join(weights_dir, "mean_face.txt"))
-    s3fd_vars = import_s3fd(load_torch_state_dict(
-        os.path.join(weights_dir, "sfd_face.pth")))
+    yolo_path = os.path.join(weights_dir, "yolov8n_face_state_dict.pth")
+    if os.path.exists(yolo_path):
+        from calipsync_tpu.nn.yolo import (YoloV8FaceDetector,
+                                           import_yolov8_face)
+
+        yolo_vars = import_yolov8_face(load_torch_state_dict(yolo_path))
+        detector = YoloV8FaceDetector(yolo_vars)
+    else:
+        s3fd_vars = import_s3fd(load_torch_state_dict(
+            os.path.join(weights_dir, "sfd_face.pth")))
+        detector = S3FDDetector(s3fd_vars, dtype=dtype)
+    # the real landmark tar is keyed 'pfld_backbone'
+    # (reference lip_detector.py:24-25); bare state_dicts pass through
     pfld_sd = load_torch_state_dict(
-        os.path.join(weights_dir, "checkpoint_epoch_335.pth.tar"))
+        os.path.join(weights_dir, "checkpoint_epoch_335.pth.tar"),
+        key="pfld_backbone")
     pfld_vars = fold_mobileone_params(import_pfld(pfld_sd))
-    detector = S3FDDetector(s3fd_vars, dtype=dtype)
     return LipDetector(pfld_vars, mean_face, detector, dtype=dtype)
 
 

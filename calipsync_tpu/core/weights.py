@@ -42,7 +42,7 @@ def load_torch_state_dict(path: str, key: str | None = None
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if key is not None:
+    if key is not None and isinstance(obj, dict) and key in obj:
         obj = obj[key]
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]

@@ -274,3 +274,51 @@ def test_state_dict_wrapper_forms(reference_modules, tmp_path):
 
     for x, y in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_build_lip_detector_on_real_weight_layouts(reference_path,
+                                                   tmp_path):
+    """cli.build_lip_detector consumes the REAL on-disk weight-dir layout:
+    S3FD bare state_dict, 'pfld_backbone'-keyed tar, mean_face.txt — and
+    upgrades to the native YOLOv8-face when its state_dict is present
+    (mirroring the reference's active-detector priority)."""
+    import importlib.util
+    import torch
+
+    from calipsync_tpu.cli import build_lip_detector
+    from calipsync_tpu.nn.s3fd import S3FDDetector
+    from calipsync_tpu.nn.yolo import YoloV8FaceDetector
+
+    # S3FD torch reference net
+    s3fd_dir = reference_path / "utils" / "lip_detector" / "tools" / "s3fd"
+    pkg = types.ModuleType("ref_s3fd_pkg_bld")
+    pkg.__path__ = [str(s3fd_dir)]
+    sys.modules["ref_s3fd_pkg_bld"] = pkg
+    for name in ("box_utils", "nets"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_s3fd_pkg_bld.{name}", s3fd_dir / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_s3fd_pkg_bld.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+    torch.save(pkg.nets.S3FDNet(device="cpu").state_dict(),
+               str(tmp_path / "sfd_face.pth"))
+
+    ref_pfld = _load_ref_pfld(reference_path)
+    torch.save({"epoch": 1,
+                "pfld_backbone":
+                    ref_pfld.PFLD_GhostOne(0.5, 192, 110).state_dict()},
+               str(tmp_path / "checkpoint_epoch_335.pth.tar"))
+    (tmp_path / "mean_face.txt").write_text(
+        " ".join(["0.5"] * 220))
+
+    lip = build_lip_detector(str(tmp_path))
+    assert isinstance(lip.detector, S3FDDetector)
+
+    # drop in a YOLO state_dict -> native YOLOv8-face takes priority
+    from _torch_yolov8 import YoloV8FaceTorch
+
+    torch.save(YoloV8FaceTorch().state_dict(),
+               str(tmp_path / "yolov8n_face_state_dict.pth"))
+    lip2 = build_lip_detector(str(tmp_path))
+    assert isinstance(lip2.detector, YoloV8FaceDetector)
