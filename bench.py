@@ -161,6 +161,11 @@ def main() -> None:
         # exactly the measured shapes
         fps = _measured_fps(synth, feats, warm_passes=2)
         compute_fps = _compute_only_fps(synth, feats)
+        # time-to-first-frame: one synthesis-window burst, warm jit —
+        # what a streaming viewer waits after audio arrives
+        t0 = time.time()
+        next(iter(synth.iterate_synthesized_frames(feats[:batch])))
+        ttf_ms = (time.time() - t0) * 1000.0
         bgr_fps = None
         if transfer != "bgr":
             ref_synth = FrameSynthesizer(variables, data_dir, model=model,
@@ -172,6 +177,7 @@ def main() -> None:
     out = {"metric": "lipsync_fps_per_chip", "value": round(fps, 2),
            "unit": "frames/s", "vs_baseline": round(fps / 250.0, 3),
            "compute_only_fps": round(compute_fps, 2),
+           "first_frame_latency_ms": round(ttf_ms, 1),
            "transfer_format": transfer}
     if bgr_fps is not None:
         out["bgr_fps"] = round(bgr_fps, 2)

@@ -114,7 +114,13 @@ def cmd_train(args):
 def cmd_step3(args):
     from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
 
-    pre = InferPreprocessor(build_lip_detector(args.weights))
+    mask_gen = None
+    if getattr(args, "xseg", None):
+        from calipsync_tpu.vision.xseg import XSegMaskGenerator
+
+        mask_gen = XSegMaskGenerator(model_path=args.xseg)
+    pre = InferPreprocessor(build_lip_detector(args.weights),
+                            mask_generator=mask_gen)
     out = pre.process_video(args.video, args.out)
     print(json.dumps(out))
 
@@ -249,6 +255,10 @@ def main(argv=None):
     sp = sub.add_parser("step3", help="video -> inference assets")
     sp.add_argument("--video", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--xseg", default=None,
+                    help="optional xseg.onnx path: generate per-frame "
+                         "compositing masks (reference ships this "
+                         "disabled)")
     common(sp, "weights")
     sp.set_defaults(fn=cmd_step3)
 

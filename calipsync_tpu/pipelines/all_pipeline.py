@@ -33,8 +33,14 @@ def clone_video_local(video_path: str, output_base_dir: str,
                       vgg_path: Optional[str] = None,
                       unet_checkpoint: Optional[str] = None,
                       cfg: PipelineConfig = PipelineConfig(),
-                      cleanup: bool = True) -> tuple[str, str]:
-    """Full clone flow. Returns (weights_path, model_id)."""
+                      cleanup: bool = True,
+                      xseg_model_path: Optional[str] = None
+                      ) -> tuple[str, str]:
+    """Full clone flow. Returns (weights_path, model_id).
+
+    xseg_model_path: optional xseg.onnx — step3 then writes per-frame
+    compositing masks (reference all_pipeline.py takes the same path and
+    ships the generator disabled)."""
     from calipsync_tpu.pipelines.step1_preprocess import TrainPreprocessor
     from calipsync_tpu.pipelines.step2_train import train_digital_model
     from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
@@ -53,7 +59,12 @@ def clone_video_local(video_path: str, output_base_dir: str,
                                        unet_checkpoint=unet_checkpoint,
                                        cfg=cfg)
 
-    step3 = InferPreprocessor(lip_detector)
+    mask_gen = None
+    if xseg_model_path:
+        from calipsync_tpu.vision.xseg import XSegMaskGenerator
+
+        mask_gen = XSegMaskGenerator(model_path=xseg_model_path)
+    step3 = InferPreprocessor(lip_detector, mask_generator=mask_gen)
     step3.process_video(video_path, model_dir)
 
     if cleanup:

@@ -178,3 +178,64 @@ def test_legacy_landmark_rotation_roundtrip():
     assert len(results) == 1
     pts, alpha = results[0]
     assert pts.shape == (110, 2) and alpha == 0.0
+
+
+def test_xseg_mask_generator_geometry():
+    """XSegMaskGenerator reproduces the reference generate_mask geometry
+    (step3_prepare_infer_data.py:28-89): lower-face square, 100%/100%/50%
+    context expansion clamped to the frame, model at 256, mask cut back
+    out and resized to the 168 lips grid."""
+    import cv2
+
+    from calipsync_tpu.vision.xseg import XSegMaskGenerator
+
+    calls = {}
+
+    def fake_session(inp):
+        calls["shape"] = inp.shape
+        calls["max"] = float(inp.max())
+        # deterministic mask: horizontal gradient
+        g = np.linspace(0, 1, 256, dtype=np.float32)
+        return np.broadcast_to(g, (256, 256))[None, ..., None].copy()
+
+    gen = XSegMaskGenerator(session=fake_session)
+    frame = np.full((400, 300, 3), 128, np.uint8)
+    lms = np.zeros((110, 2), np.int64)
+    lms[1] = (100, 200)    # xmin
+    lms[31] = (180, 200)   # xmax -> width 80
+    lms[52] = (150, 180)   # ymin
+    mask = gen(frame, lms)
+
+    assert mask.shape == (168, 168) and mask.dtype == np.float32
+    assert calls["shape"] == (1, 256, 256, 3)
+    assert calls["max"] <= 1.0  # /255 preprocessing
+
+    # independent expectation of the crop/resize chain
+    new_xmin, new_ymin = max(0, 100 - 80), max(0, 180 - 80)
+    new_xmax, new_ymax = min(300, 180 + 80), min(400, 180 + 80 + 40)
+    eh, ew = new_ymax - new_ymin, new_xmax - new_xmin
+    g = np.linspace(0, 1, 256, dtype=np.float32)
+    full = np.broadcast_to(g, (256, 256))
+    expanded = cv2.resize(full, (ew, eh))
+    x1, y1 = 100 - new_xmin, 180 - new_ymin
+    want = cv2.resize(expanded[y1:y1 + 80, x1:x1 + 80], (168, 168))
+    np.testing.assert_allclose(mask, want, atol=1e-6)
+
+
+def test_xseg_mask_generator_fallback_paths():
+    from calipsync_tpu.vision.xseg import XSegMaskGenerator
+
+    gen = XSegMaskGenerator(session=lambda inp: np.zeros(
+        (1, 256, 256, 1), np.float32))
+    frame = np.zeros((100, 100, 3), np.uint8)
+    # lower-face square extends past the expanded (clamped) crop ->
+    # all-ones fallback, exactly as the reference (:87-89)
+    lms = np.zeros((110, 2), np.int64)
+    lms[1] = (10, 60)
+    lms[31] = (90, 60)
+    lms[52] = (60, 50)   # ymin 50, width 80 -> ymax 130 > frame
+    mask = gen(frame, lms)
+    np.testing.assert_array_equal(mask, np.ones((168, 168), np.float32))
+
+    with pytest.raises(ValueError):
+        XSegMaskGenerator()

@@ -259,3 +259,21 @@ def test_yuv420_streaming_matches_bgr_at_high_psnr(synthetic_step3_dir,
                        for it in synth.iterate_synthesized_frames(feats)]
     scores = batch_psnr(np.stack(frames["bgr"]), np.stack(frames["yuv420"]))
     assert scores.min() > 38.0, scores
+
+
+def test_yuv420_streaming_nonresident_path(synthetic_step3_dir,
+                                           gen_variables):
+    """yuv420 also works on the non-resident (host-upload) generate path
+    (preload=False), matching the resident path's frames exactly."""
+    model, variables = gen_variables
+    feats = np.random.default_rng(6).standard_normal(
+        (4, 2, 1024)).astype(np.float32)
+    frames = {}
+    for preload in (True, False):
+        synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                                 model=model, batch_size=4, seed=2,
+                                 preload=preload, transfer_format="yuv420")
+        frames[preload] = [it["frame"]
+                           for it in synth.iterate_synthesized_frames(feats)]
+    for a, b in zip(frames[True], frames[False]):
+        np.testing.assert_array_equal(a, b)
