@@ -162,6 +162,21 @@ def cmd_cost(args):
     print(json.dumps(generator_cost(batch=args.batch)["gflops"]))
 
 
+def cmd_slice(args):
+    from calipsync_tpu.audio.slicer import process_and_split_audio
+
+    asr_fn = None
+    if args.asr:
+        from calipsync_tpu.audio.asr import load_hf_ctc_checkpoint
+
+        asr_fn = load_hf_ctc_checkpoint(args.asr).as_asr_fn()
+    segs = process_and_split_audio(args.audio, args.out,
+                                   min_seconds=args.min_seconds,
+                                   max_seconds=args.max_seconds,
+                                   asr_fn=asr_fn)
+    print(json.dumps({"segments": len(segs)}))
+
+
 def cmd_serve(args):
     """Real-time streaming server: watches a directory for audio files.
 
@@ -298,6 +313,18 @@ def main(argv=None):
     sp = sub.add_parser("cost", help="compiled model cost analysis")
     sp.add_argument("--batch", type=int, default=1)
     sp.set_defaults(fn=cmd_cost)
+
+    sp = sub.add_parser(
+        "slice", help="slice audio into 5-12 s speech segments "
+                      "(reference get_srt stack; funasr -> JAX CTC ASR)")
+    sp.add_argument("--audio", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--asr", default=None,
+                    help="local HF Wav2Vec2ForCTC dir: transcribing "
+                         "slicer (JAX CTC); energy-VAD fallback otherwise")
+    sp.add_argument("--min-seconds", type=float, default=5.0)
+    sp.add_argument("--max-seconds", type=float, default=12.0)
+    sp.set_defaults(fn=cmd_slice)
 
     args = p.parse_args(argv)
     args.fn(args)
