@@ -59,6 +59,10 @@ class TrainConfig:
     seed: int = 0
     checkpoint_every: int = 0          # 0 = final epoch only (ref behavior)
     sync_batchnorm: bool = True        # cross-replica BN stats under DP
+    # device-resident training data: every frame decoded once, crops in
+    # HBM (~77 KB/frame), steps fed by index vectors — no JPEG decode in
+    # the training loop. Disable for datasets larger than device memory.
+    resident_data: bool = True
 
 
 @dataclass(frozen=True)

@@ -21,10 +21,12 @@ from calipsync_tpu.core import checkpoint as ckpt
 from calipsync_tpu.core.mesh import make_mesh, replicate, shard_batch
 from calipsync_tpu.core.weights import import_generator, load_torch_state_dict
 from calipsync_tpu.data.dataset import (LipSyncDataset, Prefetcher,
+                                        ResidentLipSyncDataset,
                                         batch_iterator)
 from calipsync_tpu.nn.vgg import VGG19Features, import_vgg19_features
 from calipsync_tpu.train.trainer import (adam, build_model,
                                          create_train_state,
+                                         make_resident_train_step,
                                          make_train_step)
 
 
@@ -73,11 +75,20 @@ def train_digital_model(dataset_dir: str, save_dir: str,
         vgg_variables = jax.jit(VGG19Features().init)(
             jax.random.key(0), jnp.zeros((1, 160, 160, 3)))
 
-    step_fn = make_train_step(model, tx, mesh, cfg.train,
-                              use_perceptual=use_perceptual,
-                              axis_name=cfg.mesh.axis_name)
-
-    ds = LipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop)
+    resident = cfg.train.resident_data
+    if resident:
+        step_fn = make_resident_train_step(model, tx, mesh, cfg.train,
+                                           crop=cfg.crop,
+                                           use_perceptual=use_perceptual,
+                                           axis_name=cfg.mesh.axis_name)
+        ds = ResidentLipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop,
+                                    mesh=mesh,
+                                    num_workers=cfg.train.num_workers)
+    else:
+        step_fn = make_train_step(model, tx, mesh, cfg.train,
+                                  use_perceptual=use_perceptual,
+                                  axis_name=cfg.mesh.axis_name)
+        ds = LipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop)
     feats_dev = replicate(jnp.asarray(ds.audio_feats), mesh)
     state = replicate(state, mesh)
     vgg_variables = replicate(vgg_variables, mesh)
@@ -86,14 +97,27 @@ def train_digital_model(dataset_dir: str, save_dir: str,
     last_path = ""
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
-        it = batch_iterator(ds, cfg.train.batch_size, rng, shuffle=True,
-                            drop_last=True,
-                            num_workers=cfg.train.num_workers)
-        prefetch = Prefetcher(it, depth=2,
-                              put_fn=lambda b: shard_batch(b, mesh))
+        if resident:
+            batches = ds.epoch_indices(cfg.train.batch_size, rng,
+                                       shuffle=True, drop_last=True)
+        else:
+            it = batch_iterator(ds, cfg.train.batch_size, rng,
+                                shuffle=True, drop_last=True,
+                                num_workers=cfg.train.num_workers)
+            batches = Prefetcher(it, depth=2,
+                                 put_fn=lambda b: shard_batch(b, mesh))
         epoch_loss, n_batches = 0.0, 0
-        for batch in prefetch:
-            state, metrics = step_fn(state, batch, feats_dev, vgg_variables)
+        for batch in batches:
+            if resident:
+                idx, fidx, ex = batch
+                state, metrics = step_fn(state, ds.store_dev,
+                                         jnp.asarray(idx),
+                                         jnp.asarray(fidx),
+                                         jnp.asarray(ex),
+                                         feats_dev, vgg_variables)
+            else:
+                state, metrics = step_fn(state, batch, feats_dev,
+                                         vgg_variables)
             epoch_loss += float(metrics["loss"])
             n_batches += 1
             if log_every and n_batches % log_every == 0:

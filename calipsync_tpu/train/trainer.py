@@ -128,6 +128,73 @@ def make_train_step(model: Generator, tx: optax.GradientTransformation,
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+def make_resident_train_step(model: Generator,
+                             tx: optax.GradientTransformation,
+                             mesh: Mesh, train_cfg: TrainConfig,
+                             crop=None, use_perceptual: bool = True,
+                             axis_name="data"):
+    """Device-resident variant of :func:`make_train_step`: the speaker's
+    per-frame crops live in HBM once (data.dataset.ResidentLipSyncDataset)
+    and a step receives only index vectors — the crop gather, mouth-rect
+    masking and /255 normalization fuse into the compiled step, so the
+    host ships 12 bytes/sample instead of ~230 KB and never JPEG-decodes
+    during training (SURVEY.md section 7 hard part (5)).
+
+    Returns fn(state, store (N, S) uint8 [replicated], idx (B,),
+    fidx (B,), ex (B,), audio_feats, vgg_variables) -> (state, metrics),
+    numerically identical to the host-batch step for the same indices
+    (tests/test_train_step.py).
+    """
+    from calipsync_tpu.config import CropConfig
+
+    crop = crop or CropConfig()
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    compute_dtype = model.dtype or jnp.float32
+    y0, y1 = crop.mask_y, crop.mask_y + crop.mask_h
+    x0, x1 = crop.mask_x, crop.mask_x + crop.mask_w
+    size = crop.size
+
+    def shard_step(state: TrainState, store: jax.Array, idx: jax.Array,
+                   fidx: jax.Array, ex: jax.Array, audio_feats: jax.Array,
+                   vgg_variables):
+        real_u8 = jnp.take(store, fidx, axis=0).reshape(-1, size, size, 3)
+        ref_u8 = jnp.take(store, ex, axis=0).reshape(-1, size, size, 3)
+        real = real_u8.astype(compute_dtype) / 255.0
+        masked = real.at[:, y0:y1, x0:x1, :].set(0.0)
+        imgs = jnp.concatenate([ref_u8.astype(compute_dtype) / 255.0,
+                                masked], axis=-1)
+        labels = real_u8.astype(jnp.float32) / 255.0
+        audio = batched_windows(audio_feats, idx,
+                                mode=model.mode).astype(compute_dtype)
+
+        def loss_fn(params):
+            pred, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, audio, train=True, mutable=["batch_stats"])
+            total, metrics = generator_loss(
+                pred, labels, vgg_variables if use_perceptual else None,
+                perceptual_weight=train_cfg.perceptual_weight,
+                dtype=compute_dtype)
+            return total, (updates["batch_stats"], metrics)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(state.params)
+        grads = jax.lax.pmean(grads, axes)
+        metrics = jax.lax.pmean(metrics, axes)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    mapped = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(axes), P(axes), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def make_eval_step(model: Generator, mesh: Mesh, axis_name: str = "data"):
     """Jitted data-sharded generator forward for validation/inference.
 

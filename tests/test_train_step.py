@@ -118,3 +118,60 @@ def test_checkpoint_roundtrip(tmp_path, mesh):
     resharded = ckpt.restore_checkpoint(tmp_path, tree,
                                         sharding=replicated(mesh))
     assert resharded["params"]["w"].sharding.mesh.shape["data"] == 8
+
+
+def test_resident_step_matches_host_batch_step(synthetic_step1_dir):
+    """The device-resident data path is numerically IDENTICAL to the
+    host-batch path for the same sample indices: same loss sequence, same
+    parameters after two steps."""
+    from calipsync_tpu.data.dataset import ResidentLipSyncDataset
+    from calipsync_tpu.train.trainer import make_resident_train_step
+
+    mesh = make_mesh(data=4)
+    model_cfg = ModelConfig()
+    train_cfg = TrainConfig(batch_size=4, perceptual_weight=0.1)
+    model = build_model(model_cfg, axis_name="data")
+    tx = adam(train_cfg)
+    vgg_vars = replicate(jax.jit(VGG19Features().init)(
+        jax.random.key(1), jnp.zeros((1, 160, 160, 3))), mesh)
+
+    host_ds = LipSyncDataset(str(synthetic_step1_dir))
+    res_ds = ResidentLipSyncDataset(str(synthetic_step1_dir), mesh=mesh)
+    feats = replicate(jnp.asarray(host_ds.audio_feats), mesh)
+
+    # identical sampling streams on both sides
+    host_batches = list(batch_iterator(
+        host_ds, 4, np.random.default_rng(5), shuffle=True,
+        drop_last=True, num_workers=2))
+    res_batches = list(res_ds.epoch_indices(
+        4, np.random.default_rng(5), shuffle=True, drop_last=True))
+    assert len(host_batches) == len(res_batches)
+    for hb, (idx, fidx, ex) in zip(host_batches, res_batches):
+        np.testing.assert_array_equal(hb["index"], idx)
+
+    def run(step_kind):
+        state = create_train_state(model, tx, jax.random.key(0))
+        state = replicate(state, mesh)
+        losses = []
+        if step_kind == "host":
+            fn = make_train_step(model, tx, mesh, train_cfg)
+            for hb in host_batches[:2]:
+                state, m = fn(state, shard_batch(hb, mesh), feats,
+                              vgg_vars)
+                losses.append(float(m["loss"]))
+        else:
+            fn = make_resident_train_step(model, tx, mesh, train_cfg)
+            for idx, fidx, ex in res_batches[:2]:
+                state, m = fn(state, res_ds.store_dev, jnp.asarray(idx),
+                              jnp.asarray(fidx), jnp.asarray(ex), feats,
+                              vgg_vars)
+                losses.append(float(m["loss"]))
+        return state, losses
+
+    s_host, l_host = run("host")
+    s_res, l_res = run("resident")
+    np.testing.assert_allclose(l_res, l_host, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
