@@ -18,12 +18,11 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def make_step1_assets(root: str, n_frames: int, res: int) -> str:
-    import cv2
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from bench import make_synthetic_speaker  # structured, jpeg-friendly
 
     infer = make_synthetic_speaker(root, n_frames=n_frames, res=res)
