@@ -153,3 +153,43 @@ def test_cli_parses_all_subcommands():
         main(["step1", "--help"])
     with pytest.raises(SystemExit):
         main([])  # missing subcommand
+
+
+def test_syncnet_wenet_matches_reference(reference_path):
+    """SyncNet wenet mode (256-channel audio stack) at the parity bar."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, str(reference_path))
+    from module.syncnet import SyncNet_color
+
+    from calipsync_tpu.nn.syncnet import SyncNet, import_syncnet
+
+    ref = SyncNet_color("wenet").eval()
+    sd = ref.state_dict()
+    g = torch.Generator().manual_seed(2)
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.3
+        elif not k.endswith("num_batches_tracked"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    ref.load_state_dict(sd)
+
+    rng = np.random.default_rng(1)
+    face = rng.random((2, 3, 160, 160), dtype=np.float32)
+    audio = rng.random((2, 256, 16, 32), dtype=np.float32)
+    with torch.no_grad():
+        ref_a, ref_f = ref(torch.from_numpy(face), torch.from_numpy(audio))
+
+    variables = import_syncnet(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+        mode="wenet")
+    model = SyncNet(mode="wenet", pool="flatten")
+    a, f = jax.jit(lambda v, x, y: model.apply(v, x, y, train=False))(
+        variables, jnp.asarray(face.transpose(0, 2, 3, 1)),
+        jnp.asarray(audio.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(a), ref_a.numpy(), rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f), ref_f.numpy(), rtol=1e-3,
+                               atol=1e-5)

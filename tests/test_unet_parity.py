@@ -100,3 +100,30 @@ def test_wenet_mode_shapes():
     out = jax.jit(lambda v, x, a: model.apply(v, x, a, train=False))(
         variables, x, a)
     assert out.shape == (1, 160, 160, 3)
+
+
+def test_generator_wenet_matches_reference(reference_modules):
+    """Golden parity for the WENET audio branch (AudioConvWenet path +
+    256-channel feature layout), same bar as the hubert test."""
+    import torch
+
+    batch = 2
+    ref = reference_modules.Model(6, "wenet").eval()
+    _randomize_state_dict(ref, seed=11)
+
+    rng = np.random.default_rng(4)
+    x_nchw = rng.standard_normal((batch, 6, 160, 160)).astype(np.float32)
+    a_nchw = rng.standard_normal((batch, 256, 16, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_nchw),
+                      torch.from_numpy(a_nchw)).numpy()
+
+    variables = import_generator(torch_state_dict_to_numpy(ref),
+                                 mode="wenet")
+    model = Generator(n_channels=6, mode="wenet")
+    apply = jax.jit(lambda v, x, a: model.apply(v, x, a, train=False))
+    out = apply(variables, jnp.asarray(x_nchw.transpose(0, 2, 3, 1)),
+                jnp.asarray(a_nchw.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref_out, rtol=RTOL, atol=ATOL)
