@@ -203,7 +203,8 @@ class S3FDDetector:
     def __init__(self, variables: dict, dtype=None,
                  conf_threshold: float = 0.1, scale: float = 0.25,
                  det_conf_th: float = 0.8, nms_thresh: float = 0.3,
-                 cross_scale_nms: float = 0.1, top_k: int = 750):
+                 cross_scale_nms: float = 0.1, top_k: int = 750,
+                 batch_size: int = 16):
         self.variables = variables
         self.model = S3FDBackbone(dtype=dtype)
         self.conf_threshold = conf_threshold
@@ -212,24 +213,51 @@ class S3FDDetector:
         self.nms_thresh = nms_thresh
         self.cross_scale_nms = cross_scale_nms
         self.top_k = top_k
+        self.batch_size = batch_size
         self.last_detection = None
-        self._fwd = jax.jit(self.model.apply)
 
-    def _detect_single(self, image_bgr: np.ndarray,
-                       conf_th: float) -> np.ndarray:
-        """One image -> [x1,y1,x2,y2,score] in source pixel coords."""
+        model = self.model
+
+        @jax.jit
+        def fwd_u8(variables, x_u8):
+            # mean subtraction on device: uint8 over the wire (4x fewer
+            # h2d bytes than host-side float32), face-class scores only
+            # (halves the d2h)
+            x = x_u8.astype(jnp.float32) - jnp.asarray(S3FD_MEAN_BGR,
+                                                       jnp.float32)
+            loc, conf = model.apply(variables, x)
+            return loc, conf[..., 1]
+
+        self._fwd_batch = fwd_u8
+
+    def _scaled(self, image_bgr: np.ndarray) -> np.ndarray:
         import cv2
 
-        h, w = image_bgr.shape[:2]
-        scaled = cv2.resize(image_bgr, dsize=(0, 0), fx=self.scale,
-                            fy=self.scale, interpolation=cv2.INTER_LINEAR)
-        x = scaled.astype(np.float32) - S3FD_MEAN_BGR
-        loc, conf = self._fwd(self.variables, jnp.asarray(x[None]))
-        loc = np.asarray(loc[0])
-        scores = np.asarray(conf[0][:, 1])
-        priors = priors_np(scaled.shape[0], scaled.shape[1],
-                           s3fd_feature_maps(scaled.shape[0],
-                                             scaled.shape[1]))
+        return cv2.resize(image_bgr, dsize=(0, 0), fx=self.scale,
+                          fy=self.scale, interpolation=cv2.INTER_LINEAR)
+
+    def _forward_scaled(self, scaled_batch: np.ndarray):
+        """(B, h, w, 3) uint8 -> (loc (B,P,4), scores (B,P)) numpy. The
+        batch pads to a power-of-2 bucket so XLA compiles a handful of
+        shapes; one dispatch serves the whole batch (the per-call link
+        round-trip dominates single-image dispatch on this tunnel)."""
+        n = len(scaled_batch)
+        b = 1
+        while b < n:
+            b *= 2
+        if b > n:
+            scaled_batch = np.concatenate(
+                [scaled_batch, np.zeros((b - n,) + scaled_batch.shape[1:],
+                                        scaled_batch.dtype)])
+        loc, scores = self._fwd_batch(self.variables,
+                                      jnp.asarray(scaled_batch))
+        return np.asarray(loc)[:n], np.asarray(scores)[:n]
+
+    def _decode_one(self, loc: np.ndarray, scores: np.ndarray,
+                    priors: np.ndarray, src_h: int, src_w: int,
+                    conf_th: float) -> np.ndarray:
+        """Per-frame host decode -> [x1,y1,x2,y2,score] in source coords."""
+        h, w = src_h, src_w
 
         # Detect stage (box_utils.py:129-173): thresh 0.05, NMS 0.3
         mask = scores > 0.05
@@ -249,10 +277,50 @@ class S3FDDetector:
             dets = dets[nms_np(dets, self.cross_scale_nms)]
         return dets
 
+    def _detect_single(self, image_bgr: np.ndarray,
+                       conf_th: float) -> np.ndarray:
+        """One image -> [x1,y1,x2,y2,score] in source pixel coords."""
+        h, w = image_bgr.shape[:2]
+        scaled = self._scaled(image_bgr)
+        loc, scores = self._forward_scaled(scaled[None])
+        priors = priors_np(scaled.shape[0], scaled.shape[1],
+                           s3fd_feature_maps(scaled.shape[0],
+                                             scaled.shape[1]))
+        return self._decode_one(loc[0], scores[0], priors, h, w, conf_th)
+
     def detect(self, images: Sequence[np.ndarray]):
+        """Batched forward: same-shape frames go through ONE device
+        dispatch per ``batch_size`` chunk (uint8 h2d, face scores d2h) —
+        the per-call round-trip and float upload of per-image dispatch
+        dominated on remote links. Decode/NMS stay per-frame on host,
+        bit-identical to the single path; the last-good-detection
+        fallback is applied in input order."""
+        n = len(images)
+        scaled = [self._scaled(img) for img in images]
+        all_dets: list = [None] * n
+
+        by_shape: dict = {}
+        for i, s in enumerate(scaled):
+            by_shape.setdefault(s.shape, []).append(i)
+        priors_cache: dict = {}
+        for shape, idxs in by_shape.items():
+            if shape not in priors_cache:
+                priors_cache[shape] = priors_np(
+                    shape[0], shape[1],
+                    s3fd_feature_maps(shape[0], shape[1]))
+            priors = priors_cache[shape]
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start:start + self.batch_size]
+                loc, scores = self._forward_scaled(
+                    np.stack([scaled[i] for i in chunk]))
+                for j, i in enumerate(chunk):
+                    h, w = images[i].shape[:2]
+                    all_dets[i] = self._decode_one(
+                        loc[j], scores[j], priors, h, w,
+                        self.det_conf_th)
+
         detections = []
-        for img in images:
-            dets = self._detect_single(img, self.det_conf_th)
+        for dets in all_dets:
             if len(dets) == 0:
                 if self.last_detection is None:
                     detections.append((np.array([]), []))

@@ -246,3 +246,46 @@ def test_prediction_quantization_points(ref_serving, shared_weights,
     })
     assert diff.max() <= 1, diff.max()
     assert mismatch < 0.01, mismatch
+
+
+def test_composed_yuv420_parity_vs_reference(ref_serving, shared_weights,
+                                             synthetic_step3_dir):
+    """The half-bandwidth yuv420 transfer measured against the TORCH
+    REFERENCE output (not just our own bgr path): full composed frames at
+    >38 dB PSNR — the only loss is chroma subsampling, which every
+    reference sink re-applies at encode time anyway. Recorded in the
+    fidelity artifact."""
+    from calipsync_tpu.core.weights import (import_generator,
+                                            torch_state_dict_to_numpy)
+    from calipsync_tpu.eval import batch_psnr
+    from calipsync_tpu.infer.synthesizer import (FrameSynthesizer,
+                                                 PingPongSequencer)
+    from calipsync_tpu.nn.unet import Generator
+
+    RefFS, _ = ref_serving
+    torch_model, ckpt = shared_weights
+    rng = np.random.default_rng(6)
+    feats = rng.standard_normal((8, 2, 1024)).astype(np.float32)
+    walk = PingPongSequencer(12, np.random.default_rng(23)).next(12)
+
+    ref_synth = RefFS(ckpt, str(synthetic_step3_dir), device="cpu",
+                      batch_size=4)
+    ref_synth._generate_frame_sequence = _scripted(walk)
+    ref_frames = [i["frame"]
+                  for i in ref_synth.iterate_synthesized_frames(feats)]
+
+    variables = import_generator(torch_state_dict_to_numpy(torch_model))
+    ours = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                            model=Generator(), batch_size=4, seed=0,
+                            transfer_format="yuv420")
+    ours.sequencer.next = _scripted(walk)
+    our_frames = [i["frame"]
+                  for i in ours.iterate_synthesized_frames(feats)]
+
+    scores = batch_psnr(np.stack(ref_frames), np.stack(our_frames))
+    _record("composed_yuv420_transfer", {
+        "n_frames": len(ref_frames),
+        "psnr_db_min": float(np.min(scores)),
+        "psnr_db_mean": float(np.mean(scores)),
+    })
+    assert scores.min() > 38.0, scores
