@@ -162,6 +162,57 @@ def cmd_cost(args):
     print(json.dumps(generator_cost(batch=args.batch)["gflops"]))
 
 
+def cmd_eval(args):
+    """Frame-wise PSNR (+ optional LPIPS) between two videos — the
+    fidelity harness behind the PARITY artifacts, as a user surface."""
+    import cv2
+    import numpy as np
+
+    from calipsync_tpu.eval import batch_psnr
+
+    def read_frames(path, limit):
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while len(frames) < limit:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f)
+        cap.release()
+        return frames
+
+    fa = read_frames(args.a, args.max_frames)
+    fb = read_frames(args.b, args.max_frames)
+    n = min(len(fa), len(fb))
+    if n == 0:
+        raise SystemExit("no comparable frames")
+    a = np.stack(fa[:n])
+    b = np.stack(fb[:n])
+    if a.shape != b.shape:
+        raise SystemExit(f"shape mismatch: {a.shape} vs {b.shape}")
+    scores = batch_psnr(a, b)
+
+    def fin(x):  # bit-identical frames -> infinite PSNR -> null
+        return round(float(x), 3) if np.isfinite(x) else None
+
+    out = {"n_frames": n,
+           "psnr_db_mean": fin(np.mean(scores)),
+           "psnr_db_min": fin(np.min(scores))}
+    if args.lpips:
+        from calipsync_tpu.core.weights import load_torch_state_dict
+        from calipsync_tpu.eval import lpips_distance
+        from calipsync_tpu.nn.lpips import import_lpips
+
+        variables = import_lpips(
+            load_torch_state_dict(args.lpips_trunk),
+            load_torch_state_dict(args.lpips), net=args.lpips_net)
+        d = [float(lpips_distance(variables, a[i:i + 1], b[i:i + 1],
+                                  net=args.lpips_net)) for i in range(n)]
+        out["lpips_mean"] = round(float(np.mean(d)), 5)
+        out["lpips_max"] = round(float(np.max(d)), 5)
+    print(json.dumps(out))
+
+
 def cmd_slice(args):
     from calipsync_tpu.audio.slicer import process_and_split_audio
 
@@ -313,6 +364,18 @@ def main(argv=None):
     sp = sub.add_parser("cost", help="compiled model cost analysis")
     sp.add_argument("--batch", type=int, default=1)
     sp.set_defaults(fn=cmd_cost)
+
+    sp = sub.add_parser("eval",
+                        help="frame-wise PSNR/LPIPS between two videos")
+    sp.add_argument("--a", required=True)
+    sp.add_argument("--b", required=True)
+    sp.add_argument("--max-frames", type=int, default=250)
+    sp.add_argument("--lpips", default=None,
+                    help="lpips heads checkpoint (.pth) to add LPIPS")
+    sp.add_argument("--lpips-trunk", default=None,
+                    help="torchvision trunk checkpoint for LPIPS")
+    sp.add_argument("--lpips-net", default="vgg", choices=["vgg", "alex"])
+    sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser(
         "slice", help="slice audio into 5-12 s speech segments "

@@ -79,6 +79,9 @@ class XSegMaskGenerator:
         inp = (resized.astype(np.float32) / 255.0)[None]
 
         mask = np.asarray(self.session(inp))
+        if mask.ndim == 4 and mask.shape[1] == 1 and \
+                mask.shape[2] == mask.shape[3]:  # NCHW runtime output
+            mask = mask.transpose(0, 2, 3, 1)
         mask = mask.reshape(mask.shape[-3], mask.shape[-2], -1)[..., :1]
         mask = mask.clip(0.0, 1.0)
         expanded_mask = cv2.resize(

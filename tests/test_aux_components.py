@@ -193,3 +193,36 @@ def test_syncnet_wenet_matches_reference(reference_path):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(f), ref_f.numpy(), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_cli_eval_psnr(tmp_path, capsys):
+    """cli eval: frame-wise PSNR between two real video files."""
+    import json
+
+    import cv2
+
+    from calipsync_tpu.cli import main
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-3, 4, base.shape), 0, 255
+                    ).astype(np.uint8)
+    paths = []
+    for name, frames in (("a.mp4", base), ("b.mp4", noisy)):
+        p = str(tmp_path / name)
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                             (64, 64))
+        for f in frames:
+            vw.write(f)
+        vw.release()
+        paths.append(p)
+
+    main(["eval", "--a", paths[0], "--b", paths[1]])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_frames"] == 4
+    assert 20.0 < out["psnr_db_mean"] < 60.0
+    # self-comparison is perfect (mp4 decode is deterministic)
+    main(["eval", "--a", paths[0], "--b", paths[0]])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["psnr_db_mean"] is None or out2["psnr_db_mean"] > 90.0
