@@ -199,6 +199,9 @@ def cmd_eval(args):
            "psnr_db_mean": fin(np.mean(scores)),
            "psnr_db_min": fin(np.min(scores))}
     if args.lpips:
+        if not args.lpips_trunk:
+            raise SystemExit("--lpips also needs --lpips-trunk "
+                             "(torchvision vgg16/alexnet checkpoint)")
         from calipsync_tpu.core.weights import load_torch_state_dict
         from calipsync_tpu.eval import lpips_distance
         from calipsync_tpu.nn.lpips import import_lpips
@@ -206,8 +209,19 @@ def cmd_eval(args):
         variables = import_lpips(
             load_torch_state_dict(args.lpips_trunk),
             load_torch_state_dict(args.lpips), net=args.lpips_net)
-        d = [float(lpips_distance(variables, a[i:i + 1], b[i:i + 1],
-                                  net=args.lpips_net)) for i in range(n)]
+        # LPIPS weights are RGB-trained; cv2 frames are BGR
+        ra, rb = a[..., ::-1], b[..., ::-1]
+        chunk = 32
+        d: list = []
+        for s in range(0, n, chunk):
+            xa, xb = ra[s:s + chunk], rb[s:s + chunk]
+            m = len(xa)
+            if m < chunk:  # pad to the compiled batch shape
+                pad = np.zeros((chunk - m,) + xa.shape[1:], xa.dtype)
+                xa = np.concatenate([xa, pad])
+                xb = np.concatenate([xb, pad])
+            d.extend(lpips_distance(variables, xa, xb,
+                                    net=args.lpips_net)[:m])
         out["lpips_mean"] = round(float(np.mean(d)), 5)
         out["lpips_max"] = round(float(np.max(d)), 5)
     print(json.dumps(out))
@@ -239,7 +253,8 @@ def cmd_serve(args):
     from calipsync_tpu.infer.synthesizer import FrameSynthesizer
     from calipsync_tpu.metrics import get_logger, global_metrics
     from calipsync_tpu.serve.players import (FilePlayer, NullPlayer,
-                                             RTMPPlayer, WindowPlayer)
+                                             RTMPPlayer, VirtualCamPlayer,
+                                             WindowPlayer)
     from calipsync_tpu.serve.stream_manager import StreamingVideoManager
     from calipsync_tpu.train.trainer import build_model
 
@@ -251,20 +266,25 @@ def cmd_serve(args):
                              batch_size=cfg.infer.batch_size, crop=cfg.crop,
                              transfer_format=cfg.infer.transfer_format)
 
+    sample_rate = 24_000  # manager output rate; pegs the player clock
+    kw = dict(fps=cfg.infer.fps, sample_rate=sample_rate)
     if args.player == "window":
-        player = WindowPlayer(fps=cfg.infer.fps)
+        player = WindowPlayer(**kw)
     elif args.player == "rtmp":
-        player = RTMPPlayer(args.rtmp_url, args.width, args.height,
-                            fps=cfg.infer.fps)
+        player = RTMPPlayer(args.rtmp_url, args.width, args.height, **kw)
     elif args.player == "file":
-        player = FilePlayer(args.out or "stream.mp4", realtime=True,
-                            fps=cfg.infer.fps)
+        player = FilePlayer(args.out or "stream.mp4", realtime=True, **kw)
+    elif args.player == "virtualcam":
+        player = VirtualCamPlayer(device=args.cam_device,
+                                  width=args.width, height=args.height,
+                                  **kw)
     else:
-        player = NullPlayer(fps=cfg.infer.fps)
+        player = NullPlayer(**kw)
 
     mgr = StreamingVideoManager(
         synth, build_hubert(args.hubert), player,
         buffer_threshold=int(cfg.infer.fps * cfg.infer.buffer_threshold_s),
+        output_sample_rate=sample_rate, fps=cfg.infer.fps,
         is_interrupt=args.interrupt)
     mgr.start_playing()
     log.info("serving; drop .wav files into %s (danmu_* = priority)",
@@ -351,8 +371,11 @@ def main(argv=None):
     sp.add_argument("--watch", default="serve_queue",
                     help="directory watched for .wav files")
     sp.add_argument("--player", default="window",
-                    choices=["window", "rtmp", "file", "null"])
+                    choices=["window", "rtmp", "file", "virtualcam",
+                             "null"])
     sp.add_argument("--rtmp-url", default=None)
+    sp.add_argument("--cam-device", default="/dev/video0",
+                    help="v4l2loopback device for --player virtualcam")
     sp.add_argument("--out", default=None, help="file player output")
     sp.add_argument("--width", type=int, default=1080)
     sp.add_argument("--height", type=int, default=1920)

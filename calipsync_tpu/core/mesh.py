@@ -88,6 +88,19 @@ def make_hybrid_mesh(data: int = -1, dcn: int = -1,
     return Mesh(arr, (dcn_axis_name, axis_name))
 
 
+def build_mesh(cfg) -> Mesh:
+    """MeshConfig -> the mesh it describes: 1-D ``(data,)`` for dcn == 1,
+    the 2-D ``(host, data)`` hybrid otherwise (initializing
+    jax.distributed from the environment first when needed). This is the
+    production entry point — pipelines should call this, not make_mesh,
+    so the MeshConfig.dcn knob actually takes effect."""
+    if cfg.dcn == 1:
+        return make_mesh(cfg.data, cfg.axis_name)
+    maybe_initialize_distributed()
+    return make_hybrid_mesh(cfg.data, cfg.dcn, cfg.axis_name,
+                            cfg.dcn_axis_name)
+
+
 def batch_axes(mesh: Mesh) -> AxisNames:
     """The axis name(s) a data batch shards over: every mesh axis.
     1-D mesh -> 'data'; hybrid mesh -> ('host', 'data')."""
@@ -99,12 +112,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension across the data axis."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharded(mesh: Mesh, axis_name=None) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh's batch axes
+    (all of them by default — ('host', 'data') on a hybrid mesh)."""
+    return NamedSharding(mesh, P(axis_name or batch_axes(mesh)))
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis_name=None):
     """device_put a host batch pytree with its leading dim sharded."""
     s = batch_sharded(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)

@@ -16,6 +16,8 @@ measurement tooling:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,9 +66,22 @@ def lpips_distance(lpips_variables: dict, a, b, net: str = "vgg",
         return x.astype(jnp.float32) / (255.0 if x.dtype == jnp.uint8
                                         else 1.0)
 
-    module = module or LPIPS(net=net)
-    fn = jax.jit(lambda v, x, y: module.apply(v, x, y))
+    if module is not None:
+        fn = jax.jit(lambda v, x, y: module.apply(v, x, y))
+    else:
+        fn = _lpips_apply_fn(net)
     return np.asarray(fn(lpips_variables, to01(a), to01(b)))
+
+
+@functools.lru_cache(maxsize=4)
+def _lpips_apply_fn(net: str):
+    """One jitted apply per net variant — repeated lpips_distance calls
+    (chunked video eval) reuse the trace instead of re-jitting a fresh
+    lambda every call."""
+    from calipsync_tpu.nn.lpips import LPIPS
+
+    module = LPIPS(net=net)
+    return jax.jit(lambda v, x, y: module.apply(v, x, y))
 
 
 def make_default_lpips(net: str = "vgg", seed: int = 0,

@@ -221,7 +221,8 @@ class FrameSynthesizer:
                  preload: bool = True,
                  mesh=None, axis_name: str = "data",
                  pipeline_depth: int = 3,
-                 transfer_format: str = "bgr"):
+                 transfer_format: str = "bgr",
+                 preload_max_bytes: int = 4 << 30):
         """
         Args:
           variables: generator {'params','batch_stats'} (imported or trained)
@@ -297,7 +298,15 @@ class FrameSynthesizer:
         self._cache_lock = threading.Lock()
         self._crops_dev = None
         if preload and self.total_frames > 0:
-            self.preload()
+            store_bytes = self.total_frames * crop.size * crop.size * 3
+            if store_bytes > preload_max_bytes:
+                # safety valve for extreme clips (an hour of frames is
+                # ~7 GB of HBM + minutes of decode): degrade to the
+                # streaming upload path instead of exhausting the device
+                print(f"crop store {store_bytes >> 20} MiB exceeds "
+                      f"preload_max_bytes; using streaming path")
+            else:
+                self.preload()
 
     # ---------------- per-physical-frame cache ----------------
 

@@ -302,13 +302,9 @@ class S3FDDetector:
         by_shape: dict = {}
         for i, s in enumerate(scaled):
             by_shape.setdefault(s.shape, []).append(i)
-        priors_cache: dict = {}
         for shape, idxs in by_shape.items():
-            if shape not in priors_cache:
-                priors_cache[shape] = priors_np(
-                    shape[0], shape[1],
-                    s3fd_feature_maps(shape[0], shape[1]))
-            priors = priors_cache[shape]
+            priors = priors_np(shape[0], shape[1],
+                               s3fd_feature_maps(shape[0], shape[1]))
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
                 loc, scores = self._forward_scaled(

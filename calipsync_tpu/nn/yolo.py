@@ -200,7 +200,7 @@ class YoloV8Face(nn.Module):
         return outs
 
 
-def decode_outputs(outs, img_size: int = 640):
+def decode_outputs(outs):
     """Raw per-scale head outputs -> (boxes_xyxy (N,A,4), scores (N,A),
     kpts (N,A,5,3)) in letterboxed-image pixels. Pure jnp — jitted
     together with the net so only the decoded tensors cross d2h.
@@ -279,14 +279,13 @@ class YoloV8FaceDetector:
         self.batch_size = batch_size
         self.last_detection = None
 
-        size = img_size
         mdl = self.model
 
         @jax.jit
         def fwd(variables, imgs_u8):
             x = imgs_u8.astype(jnp.float32) / 255.0
             outs = mdl.apply(variables, x, train=False)
-            return decode_outputs(outs, size)
+            return decode_outputs(outs)
 
         self._fwd = fwd
 

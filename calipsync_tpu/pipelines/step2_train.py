@@ -18,7 +18,8 @@ import numpy as np
 
 from calipsync_tpu.config import PipelineConfig
 from calipsync_tpu.core import checkpoint as ckpt
-from calipsync_tpu.core.mesh import make_mesh, replicate, shard_batch
+from calipsync_tpu.core.mesh import (batch_axes, build_mesh, replicate,
+                                     shard_batch)
 from calipsync_tpu.core.weights import import_generator, load_torch_state_dict
 from calipsync_tpu.data.dataset import (LipSyncDataset, Prefetcher,
                                         ResidentLipSyncDataset,
@@ -51,8 +52,9 @@ def train_digital_model(dataset_dir: str, save_dir: str,
     Returns the final checkpoint path.
     """
     os.makedirs(save_dir, exist_ok=True)
-    mesh = make_mesh(cfg.mesh.data, cfg.mesh.axis_name)
-    axis = cfg.mesh.axis_name if cfg.train.sync_batchnorm else None
+    mesh = build_mesh(cfg.mesh)  # 1-D or hybrid (host, data) per config
+    axes = batch_axes(mesh)
+    axis = axes if cfg.train.sync_batchnorm else None
     model = build_model(cfg.model, axis_name=axis)
     tx = adam(cfg.train)
 
@@ -80,14 +82,14 @@ def train_digital_model(dataset_dir: str, save_dir: str,
         step_fn = make_resident_train_step(model, tx, mesh, cfg.train,
                                            crop=cfg.crop,
                                            use_perceptual=use_perceptual,
-                                           axis_name=cfg.mesh.axis_name)
+                                           axis_name=axes)
         ds = ResidentLipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop,
                                     mesh=mesh,
                                     num_workers=cfg.train.num_workers)
     else:
         step_fn = make_train_step(model, tx, mesh, cfg.train,
                                   use_perceptual=use_perceptual,
-                                  axis_name=cfg.mesh.axis_name)
+                                  axis_name=axes)
         ds = LipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop)
     feats_dev = replicate(jnp.asarray(ds.audio_feats), mesh)
     state = replicate(state, mesh)

@@ -33,7 +33,8 @@ from calipsync_tpu.config import CropConfig
 from calipsync_tpu.infer.synthesizer import (FrameSynthesizer,
                                              PingPongSequencer,
                                              make_generate_resident_fn,
-                                             make_generate_resident_sharded_fn)
+                                             make_generate_resident_sharded_fn,
+                                             yuv420_unpack)
 from calipsync_tpu.nn.unet import Generator
 
 _PAD = 8  # +-8-row window context
@@ -175,8 +176,6 @@ class MultiStreamSynthesizer:
         for start, n, preds in pending:
             rows = np.asarray(preds)[:n]
             if self.transfer_format == "yuv420":
-                from calipsync_tpu.infer.synthesizer import yuv420_unpack
-
                 preds_all[start:start + n] = np.stack(
                     [yuv420_unpack(r, self.crop.size) for r in rows])
             else:

@@ -59,6 +59,15 @@ class StreamingVideoManager:
         self.samples_per_frame = self.feature_sample_rate // fps
         self.output_samples_per_frame = output_sample_rate // fps
         self.synthesis_frame_count = int(fps * synthesis_window_seconds)
+        # The player's audio-pegged clock divides chunk lengths by ITS
+        # sample rate; a mismatch would change playback speed, so fail
+        # loudly at construction instead (players.py BasePlayer._run).
+        prate = getattr(player, "SAMPLE_RATE", None)
+        if prate is not None and prate != output_sample_rate:
+            raise ValueError(
+                f"player sample_rate {prate} != manager "
+                f"output_sample_rate {output_sample_rate}: construct the "
+                f"player with sample_rate={output_sample_rate}")
         self.buffer_threshold = buffer_threshold
         self.is_interrupt = is_interrupt
         self.error_backoff_s = error_backoff_s

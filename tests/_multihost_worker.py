@@ -87,6 +87,17 @@ def main():
         bsh, v[pid * half:(pid + 1) * half]) for k, v in batch_np.items()}
     feats = jax.device_put(feats_np, rep)
 
+    # On a 1-core host the two ranks' compiles serialize, so they can
+    # reach the FIRST collective execution minutes apart — past Gloo's
+    # 30 s context-init timeout. AOT-compile first (no cross-process
+    # traffic), then rendezvous at a coordination-service barrier (long
+    # timeout, no Gloo) so both ranks start executing together.
+    step_fn.lower(state, batch, feats, {}).compile()
+    from jax._src.distributed import global_state
+
+    global_state.client.wait_at_barrier("worker_compiled",
+                                        timeout_in_ms=1_200_000)
+
     losses = []
     for _ in range(3):
         state, metrics = step_fn(state, batch, feats, {})
@@ -101,6 +112,12 @@ def main():
 
     print("RESULT " + json.dumps({"pid": pid, "losses": losses,
                                   "checksum": checksum}), flush=True)
+
+    # Rendezvous again BEFORE interpreter exit so the faster rank's
+    # exit-time shutdown barrier can't time out against a lagging peer.
+    global_state.client.wait_at_barrier("worker_done",
+                                        timeout_in_ms=1_200_000)
+    jax.distributed.shutdown()
 
 
 if __name__ == "__main__":

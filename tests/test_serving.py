@@ -348,3 +348,13 @@ def test_virtualcam_v4l2_format_struct_and_gate(tmp_path):
     with pytest.raises(RuntimeError, match="v4l2loopback"):
         p.start_playing()
     assert not p.running
+
+
+def test_sample_rate_mismatch_fails_loudly(tmp_path):
+    """The audio-pegged player clock divides by the PLAYER's sample rate;
+    a manager/player rate mismatch would silently change playback speed,
+    so construction must reject it."""
+    with pytest.raises(ValueError, match="sample_rate"):
+        StreamingVideoManager(_FakeSynth(), _FakeHubert(),
+                              NullPlayer(sample_rate=24_000),
+                              output_sample_rate=48_000)
