@@ -28,6 +28,13 @@ def __getattr__(name):
             "calipsync_tpu.pipelines.step2_train", "train_digital_model"),
         "clone_video_local": (
             "calipsync_tpu.pipelines.all_pipeline", "clone_video_local"),
+        "YoloV8FaceDetector": (
+            "calipsync_tpu.nn.yolo", "YoloV8FaceDetector"),
+        "S3FDDetector": ("calipsync_tpu.nn.s3fd", "S3FDDetector"),
+        "CTCRecognizer": ("calipsync_tpu.audio.asr", "CTCRecognizer"),
+        "XSegMaskGenerator": (
+            "calipsync_tpu.vision.xseg", "XSegMaskGenerator"),
+        "LPIPS": ("calipsync_tpu.nn.lpips", "LPIPS"),
     }
     if name in lazy:
         import importlib
