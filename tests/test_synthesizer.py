@@ -277,3 +277,22 @@ def test_yuv420_streaming_nonresident_path(synthetic_step3_dir,
                            for it in synth.iterate_synthesized_frames(feats)]
     for a, b in zip(frames[True], frames[False]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_preload_max_bytes_valve(synthetic_step3_dir, gen_variables):
+    """An oversized crop store degrades to the streaming path instead of
+    exhausting HBM; output equals the resident path's exactly."""
+    model, variables = gen_variables
+    feats = np.random.default_rng(8).standard_normal(
+        (4, 2, 1024)).astype(np.float32)
+    res = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                           model=model, batch_size=4, seed=4)
+    capped = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                              model=model, batch_size=4, seed=4,
+                              preload_max_bytes=1024)  # force the valve
+    assert res._crops_dev is not None
+    assert capped._crops_dev is None
+    a = [it["frame"] for it in res.iterate_synthesized_frames(feats)]
+    b = [it["frame"] for it in capped.iterate_synthesized_frames(feats)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
