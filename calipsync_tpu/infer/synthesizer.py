@@ -434,7 +434,8 @@ class FrameSynthesizer:
         cfg = self.crop
         preds = np.asarray(preds_dev)[:len(entries)]  # blocks on d2h
         if self.transfer_format == "yuv420":
-            preds = np.stack([yuv420_unpack(p, cfg.size) for p in preds])
+            # per-frame decode, no re-stack copy — _paste_back indexes
+            preds = [yuv420_unpack(p, cfg.size) for p in preds]
         else:
             preds = preds.reshape(-1, cfg.size, cfg.size, 3)
         out = []

@@ -127,3 +127,24 @@ def test_two_process_dcn_training_and_checkpoint_reshard(tmp_path):
     checksum = float(sum(jnp.sum(jnp.abs(x))
                          for x in jax.tree.leaves(restored["params"])))
     np.testing.assert_allclose(checksum, results[0]["checksum"], rtol=1e-6)
+
+
+def test_build_mesh_dispatches_on_config():
+    """build_mesh: dcn=1 -> 1-D (data,) mesh; dcn>1 -> hybrid (host,
+    data) even single-process (8 local devices split into 2x4), so the
+    MeshConfig knob actually changes the production mesh."""
+    import jax
+
+    from calipsync_tpu.config import MeshConfig
+    from calipsync_tpu.core.mesh import batch_axes, build_mesh
+
+    flat = build_mesh(MeshConfig())
+    assert flat.axis_names == ("data",)
+    assert batch_axes(flat) == "data"
+
+    if len(jax.devices()) >= 8:
+        hybrid = build_mesh(MeshConfig(data=4, dcn=2))
+        assert hybrid.axis_names == ("host", "data")
+        assert dict(zip(hybrid.axis_names, hybrid.devices.shape)) == \
+            {"host": 2, "data": 4}
+        assert batch_axes(hybrid) == ("host", "data")
