@@ -147,8 +147,14 @@ class TrainPreprocessor:
         start = time.time()
         total = 0
         pool = ThreadPoolExecutor(max_workers=16)
+        from calipsync_tpu.data.dataset import Prefetcher
+
         try:
-            for batch in self._frame_batches(video_path):
+            # decode-ahead: the capture thread reads batch k+1 while the
+            # detector/PFLD run batch k (the reference is decode-bound,
+            # SURVEY.md section 7 hard part (5))
+            for batch in Prefetcher(self._frame_batches(video_path),
+                                    depth=2):
                 indices = list(range(total, total + len(batch)))
                 for i, frame in zip(indices, batch):
                     pool.submit(cv2.imwrite,

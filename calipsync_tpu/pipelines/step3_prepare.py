@@ -67,21 +67,31 @@ class InferPreprocessor:
         cap.release()
 
         cap = cv2.VideoCapture(video_path)
-        buf, idxs, i = [], [], 0
-        try:
+
+        def batches():
+            buf, idxs, i = [], [], 0
             while True:
                 ok, frame = cap.read()
                 if not ok:
                     break
                 buf.append(frame)
                 idxs.append(i)
-                if len(buf) >= self.batch_size:
-                    self._process_batch(buf, idxs, infer_dir)
-                    buf, idxs = [], []
                 i += 1
+                if len(buf) >= self.batch_size:
+                    yield buf, idxs
+                    buf, idxs = [], []
             if buf:
+                yield buf, idxs
+
+        from calipsync_tpu.data.dataset import Prefetcher
+
+        n = 0
+        try:
+            # decode-ahead thread overlaps cv2 reads with detection
+            for buf, idxs in Prefetcher(batches(), depth=2):
                 self._process_batch(buf, idxs, infer_dir)
+                n = idxs[-1] + 1
         finally:
             cap.release()
         return {"infer_dir": infer_dir, "srt_dir": srt_dir,
-                "processed_frames": i}
+                "processed_frames": n}
