@@ -44,24 +44,31 @@ def main():
     lip = LipDetector(pfld_vars, np.zeros((220,), np.float32),
                       S3FDDetector(s3fd_vars, scale=0.25))
 
+    from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
+
     with tempfile.TemporaryDirectory() as tmp:
         d = make_synthetic_speaker(tmp, n_frames=n_frames, res=1280,
                                    res_w=res)
-        paths = [os.path.join(d, "frames", f"{str(i).zfill(6)}.jpg")
-                 for i in range(n_frames)]
-        # warm compile on one batch
-        frames = [cv2.imread(p) for p in paths[:batch]]
-        lip.detect_landmarks(frames)
+        # real mp4 so the bench drives the PRODUCTION process_video loop
+        # (decode-ahead prefetch + batched detection)
+        video = os.path.join(tmp, "speaker.mp4")
+        vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                             (res, 1280))
+        for i in range(n_frames):
+            vw.write(cv2.imread(os.path.join(
+                d, "frames", f"{str(i).zfill(6)}.jpg")))
+        vw.release()
+
+        pre = InferPreprocessor(lip, batch_size=batch)
+        out_dir = os.path.join(tmp, "warm")
+        pre.process_video(video, out_dir)  # warm compile
 
         t0 = time.time()
-        done = 0
-        for start in range(0, n_frames, batch):
-            frames = [cv2.imread(p) for p in paths[start:start + batch]]
-            lms = lip.detect_landmarks(frames)
-            done += len([x for x in lms if x is not None])
+        result = pre.process_video(video, os.path.join(tmp, "out"))
         dt = time.time() - t0
     print(json.dumps({"preprocess_fps": round(n_frames / dt, 1),
-                      "detected": done, "n_frames": n_frames,
+                      "processed": result["processed_frames"],
+                      "n_frames": n_frames,
                       "res": f"1280x{res}", "batch": batch}))
 
 
