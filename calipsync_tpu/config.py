@@ -63,6 +63,10 @@ class TrainConfig:
     # HBM (~77 KB/frame), steps fed by index vectors — no JPEG decode in
     # the training loop. Disable for datasets larger than device memory.
     resident_data: bool = True
+    # Safety valve (mirrors FrameSynthesizer.preload_max_bytes): when the
+    # crop store would exceed this many bytes of HBM, step2 falls back to
+    # the streaming LipSyncDataset instead of OOMing the device.
+    resident_max_bytes: int = 4 << 30
 
 
 @dataclass(frozen=True)

@@ -113,19 +113,64 @@ class Prefetcher:
                  put_fn=None):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._put_fn = put_fn
+        self._stop = threading.Event()
+        self._it = it
         self._thread = threading.Thread(target=self._run, args=(it,),
                                         daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when close() is requested, so the
+        thread can never leak blocked on a full queue."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                pass
+        return False
+
     def _run(self, it):
         try:
             for item in it:
+                if self._stop.is_set():
+                    return
                 if self._put_fn is not None:
                     item = self._put_fn(item)
-                self._q.put(item)
-            self._q.put(None)
+                if not self._put(item):
+                    return
+            self._put(None)
         except BaseException as e:  # surface worker errors to consumer
-            self._q.put(e)
+            self._put(e)
+
+    def close(self) -> None:
+        """Stop the prefetch thread and wait for it to exit.
+
+        Call this BEFORE releasing a resource the wrapped iterator reads
+        from (e.g. a cv2.VideoCapture owned by a generator) — otherwise
+        the daemon thread may still be inside the read when the resource
+        dies, or leak blocked on the bounded queue (ADVICE r2)."""
+        self._stop.set()
+        while self._thread.is_alive():
+            try:  # drain so a blocked put can observe the stop flag
+                self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
+        # The thread has exited: safe to close a generator so its
+        # ``finally`` (capture release, pool shutdown) runs now.
+        close_it = getattr(self._it, "close", None)
+        if close_it is not None:
+            try:
+                close_it()
+            except Exception:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self

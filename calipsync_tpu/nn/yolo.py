@@ -310,13 +310,13 @@ class YoloV8FaceDetector:
             canvas, r, px, py = letterbox(
                 np.ascontiguousarray(img[..., ::-1]), self.img_size)
             canvases.append(canvas)
-            metas.append((r, px, py))
+            metas.append((r, px, py, img.shape[1], img.shape[0]))
         results = []
         for start in range(0, len(canvases), self.batch_size):
             chunk = np.stack(canvases[start:start + self.batch_size])
             boxes, scores, kpts = self._forward(chunk)
             for bi in range(len(chunk)):
-                r, px, py = metas[start + bi]
+                r, px, py, w, h = metas[start + bi]
                 keep = scores[bi] >= self.conf_threshold
                 b, s, k = boxes[bi][keep], scores[bi][keep], kpts[bi][keep]
                 dets = np.concatenate([b, s[:, None]], axis=1)
@@ -326,6 +326,12 @@ class YoloV8FaceDetector:
                 b[:, 1::2] = (b[:, 1::2] - py) / r
                 k[..., 0] = (k[..., 0] - px) / r
                 k[..., 1] = (k[..., 1] - py) / r
+                # ultralytics clips boxes.xyxy (and keypoints) to image
+                # bounds; downstream crop/landmark code relies on that.
+                np.clip(b[:, 0::2], 0, w, out=b[:, 0::2])
+                np.clip(b[:, 1::2], 0, h, out=b[:, 1::2])
+                np.clip(k[..., 0], 0, w, out=k[..., 0])
+                np.clip(k[..., 1], 0, h, out=k[..., 1])
                 results.append((b, s, k))
         return results
 

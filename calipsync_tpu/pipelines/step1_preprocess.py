@@ -149,12 +149,12 @@ class TrainPreprocessor:
         pool = ThreadPoolExecutor(max_workers=16)
         from calipsync_tpu.data.dataset import Prefetcher
 
+        pf = Prefetcher(self._frame_batches(video_path), depth=2)
         try:
             # decode-ahead: the capture thread reads batch k+1 while the
             # detector/PFLD run batch k (the reference is decode-bound,
             # SURVEY.md section 7 hard part (5))
-            for batch in Prefetcher(self._frame_batches(video_path),
-                                    depth=2):
+            for batch in pf:
                 indices = list(range(total, total + len(batch)))
                 for i, frame in zip(indices, batch):
                     pool.submit(cv2.imwrite,
@@ -180,7 +180,8 @@ class TrainPreprocessor:
                                                  f"{i}.jpg"), face)
                 total += len(batch)
         finally:
-            pool.shutdown(wait=True)
+            pf.close()    # joins the decode thread; generator's finally
+            pool.shutdown(wait=True)    # then releases the capture
 
         self.fix_missing_landmarks(output_dir)
         return {"total_frames": total,

@@ -79,6 +79,19 @@ def train_digital_model(dataset_dir: str, save_dir: str,
 
     resident = cfg.train.resident_data
     if resident:
+        # Size guard (ADVICE r2): the resident store costs
+        # n_frames * size^2 * 3 bytes of HBM; a long speaker video (an
+        # hour is ~6.9 GB at 77 KB/frame) must not OOM the device by
+        # default. Same valve as FrameSynthesizer.preload_max_bytes.
+        img_dir = os.path.join(dataset_dir, "full_body_img")
+        n_frames = len([f for f in os.listdir(img_dir)
+                        if f.endswith(".jpg")])
+        store_bytes = n_frames * cfg.crop.size * cfg.crop.size * 3
+        if store_bytes > cfg.train.resident_max_bytes:
+            print(f"training crop store {store_bytes >> 20} MiB exceeds "
+                  f"resident_max_bytes; using the streaming dataset")
+            resident = False
+    if resident:
         step_fn = make_resident_train_step(model, tx, mesh, cfg.train,
                                            crop=cfg.crop,
                                            use_perceptual=use_perceptual,
@@ -109,22 +122,27 @@ def train_digital_model(dataset_dir: str, save_dir: str,
             batches = Prefetcher(it, depth=2,
                                  put_fn=lambda b: shard_batch(b, mesh))
         epoch_loss, n_batches = 0.0, 0
-        for batch in batches:
-            if resident:
-                idx, fidx, ex = batch
-                state, metrics = step_fn(state, ds.store_dev,
-                                         jnp.asarray(idx),
-                                         jnp.asarray(fidx),
-                                         jnp.asarray(ex),
-                                         feats_dev, vgg_variables)
-            else:
-                state, metrics = step_fn(state, batch, feats_dev,
-                                         vgg_variables)
-            epoch_loss += float(metrics["loss"])
-            n_batches += 1
-            if log_every and n_batches % log_every == 0:
-                print(f"epoch {epoch + 1}/{cfg.train.epochs} "
-                      f"batch {n_batches} loss {float(metrics['loss']):.6f}")
+        try:
+            for batch in batches:
+                if resident:
+                    idx, fidx, ex = batch
+                    state, metrics = step_fn(state, ds.store_dev,
+                                             jnp.asarray(idx),
+                                             jnp.asarray(fidx),
+                                             jnp.asarray(ex),
+                                             feats_dev, vgg_variables)
+                else:
+                    state, metrics = step_fn(state, batch, feats_dev,
+                                             vgg_variables)
+                epoch_loss += float(metrics["loss"])
+                n_batches += 1
+                if log_every and n_batches % log_every == 0:
+                    print(f"epoch {epoch + 1}/{cfg.train.epochs} "
+                          f"batch {n_batches} "
+                          f"loss {float(metrics['loss']):.6f}")
+        finally:
+            if isinstance(batches, Prefetcher):
+                batches.close()  # don't leak the decode thread on error
         final = epoch == cfg.train.epochs - 1
         periodic = (cfg.train.checkpoint_every
                     and (epoch + 1) % cfg.train.checkpoint_every == 0)

@@ -86,12 +86,14 @@ class InferPreprocessor:
         from calipsync_tpu.data.dataset import Prefetcher
 
         n = 0
+        pf = Prefetcher(batches(), depth=2)
         try:
             # decode-ahead thread overlaps cv2 reads with detection
-            for buf, idxs in Prefetcher(batches(), depth=2):
+            for buf, idxs in pf:
                 self._process_batch(buf, idxs, infer_dir)
                 n = idxs[-1] + 1
         finally:
+            pf.close()    # stop the decode thread BEFORE killing cap
             cap.release()
         return {"infer_dir": infer_dir, "srt_dir": srt_dir,
                 "processed_frames": n}

@@ -97,3 +97,42 @@ def test_frame_index_clamp_beyond_frames(synthetic_step1_dir):
     ds = LipSyncDataset(str(synthetic_step1_dir))
     s = ds.sample(len(ds) - 1, np.random.default_rng(2))  # idx 24 > 11 frames
     assert s["target"].shape == (160, 160, 3)
+
+
+def test_prefetcher_close_stops_thread_and_generator():
+    """close() joins the decode thread even when it is blocked on a full
+    queue, and runs the wrapped generator's ``finally`` (the capture /
+    pool release) before returning (ADVICE r2)."""
+    import time
+
+    from calipsync_tpu.data.dataset import Prefetcher
+
+    released = []
+
+    def gen():
+        try:
+            i = 0
+            while True:     # unbounded producer: fills the queue
+                yield i
+                i += 1
+        finally:
+            released.append(True)
+
+    pf = Prefetcher(gen(), depth=2)
+    assert next(pf) == 0
+    deadline = time.time() + 5.0    # let the thread block on a full put
+    while pf._q.qsize() < 2 and time.time() < deadline:
+        time.sleep(0.01)
+    pf.close()
+    assert not pf._thread.is_alive()
+    assert released == [True]
+    # idempotent; and a fully-consumed prefetcher closes cheaply too
+    pf.close()
+
+
+def test_prefetcher_close_after_exhaustion():
+    from calipsync_tpu.data.dataset import Prefetcher
+
+    with Prefetcher(iter([1, 2, 3]), depth=2) as pf:
+        assert list(pf) == [1, 2, 3]
+    assert not pf._thread.is_alive()

@@ -164,3 +164,21 @@ def test_clone_orchestrator(synthetic_video, tmp_path):
     # intermediates cleaned, inference assets kept
     assert not os.path.exists(os.path.join(model_dir, "full_body_img"))
     assert os.path.isdir(os.path.join(model_dir, "infer_data", "frames"))
+
+
+def test_resident_max_bytes_valve(synthetic_step1_dir, tmp_path, capsys):
+    """An oversized training crop store falls back to the streaming
+    dataset instead of replicating into HBM (ADVICE r2) — mirroring
+    FrameSynthesizer.preload_max_bytes — and training still completes."""
+    from calipsync_tpu.pipelines.step2_train import train_digital_model
+
+    cfg = PipelineConfig(
+        train=TrainConfig(batch_size=4, epochs=1, num_workers=2,
+                          perceptual_weight=0.0, resident_data=True,
+                          resident_max_bytes=1024),
+        mesh=MeshConfig(data=4))
+    path = train_digital_model(str(synthetic_step1_dir),
+                               str(tmp_path / "ckpt"), cfg=cfg,
+                               log_every=0)
+    assert path and os.path.isdir(path)
+    assert "resident_max_bytes" in capsys.readouterr().out
