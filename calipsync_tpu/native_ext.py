@@ -32,8 +32,11 @@ def _build() -> Optional[pathlib.Path]:
     lib = _LIB_DIR / "libcalipsync_native.so"
     if lib.exists() and lib.stat().st_mtime >= _SRC.stat().st_mtime:
         return lib
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           str(_SRC), "-o", str(lib)]
+    # -ffp-contract=off: no FMA contraction in the blend — the float math
+    # must round exactly like numpy's separate mul/add (parity tests are
+    # byte-exact against the numpy fallback).
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", str(_SRC), "-o", str(lib)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except subprocess.CalledProcessError:

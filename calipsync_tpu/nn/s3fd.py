@@ -204,7 +204,7 @@ class S3FDDetector:
                  conf_threshold: float = 0.1, scale: float = 0.25,
                  det_conf_th: float = 0.8, nms_thresh: float = 0.3,
                  cross_scale_nms: float = 0.1, top_k: int = 750,
-                 batch_size: int = 16):
+                 batch_size: int = 16, topk_device: int = 512):
         self.variables = variables
         self.model = S3FDBackbone(dtype=dtype)
         self.conf_threshold = conf_threshold
@@ -214,6 +214,7 @@ class S3FDDetector:
         self.cross_scale_nms = cross_scale_nms
         self.top_k = top_k
         self.batch_size = batch_size
+        self.topk_device = topk_device
         self.last_detection = None
 
         model = self.model
@@ -229,6 +230,26 @@ class S3FDDetector:
             return loc, conf[..., 1]
 
         self._fwd_batch = fwd_u8
+
+        @jax.jit
+        def fwd_u8_topk(variables, x_u8):
+            # Compact the prior grid ON DEVICE: only the top-k scored
+            # rows (plus their prior indices and the >0.05 count) cross
+            # d2h — ~8x fewer bytes than the full (P,4)+(P,) grids. The
+            # host falls back to the full forward for any image whose
+            # above-threshold count exceeds k, so results stay
+            # bit-identical to the uncompacted path always.
+            x = x_u8.astype(jnp.float32) - jnp.asarray(S3FD_MEAN_BGR,
+                                                       jnp.float32)
+            loc, conf = model.apply(variables, x)
+            s = conf[..., 1]
+            k = min(self.topk_device, s.shape[1])
+            count = jnp.sum((s > 0.05).astype(jnp.int32), axis=1)
+            vals, idx = jax.lax.top_k(s, k)
+            l = jnp.take_along_axis(loc, idx[..., None], axis=1)
+            return l, vals, idx.astype(jnp.int32), count
+
+        self._fwd_batch_topk = fwd_u8_topk
 
     def _scaled(self, image_bgr: np.ndarray) -> np.ndarray:
         import cv2
@@ -253,18 +274,54 @@ class S3FDDetector:
                                       jnp.asarray(scaled_batch))
         return np.asarray(loc)[:n], np.asarray(scores)[:n]
 
+    def _forward_scaled_topk(self, scaled_batch: np.ndarray):
+        """Compacted forward: (B,h,w,3) uint8 -> numpy (loc_k (B,K,4),
+        scores_k (B,K), prior idx_k (B,K), count (B,)) — see fwd_u8_topk."""
+        n = len(scaled_batch)
+        b = 1
+        while b < n:
+            b *= 2
+        if b > n:
+            scaled_batch = np.concatenate(
+                [scaled_batch, np.zeros((b - n,) + scaled_batch.shape[1:],
+                                        scaled_batch.dtype)])
+        loc, s, idx, count = self._fwd_batch_topk(self.variables,
+                                                  jnp.asarray(scaled_batch))
+        return (np.asarray(loc)[:n], np.asarray(s)[:n],
+                np.asarray(idx)[:n], np.asarray(count)[:n])
+
     def _decode_one(self, loc: np.ndarray, scores: np.ndarray,
                     priors: np.ndarray, src_h: int, src_w: int,
                     conf_th: float) -> np.ndarray:
         """Per-frame host decode -> [x1,y1,x2,y2,score] in source coords."""
-        h, w = src_h, src_w
-
         # Detect stage (box_utils.py:129-173): thresh 0.05, NMS 0.3
         mask = scores > 0.05
         if not mask.any():
             return np.empty((0, 5), np.float32)
         boxes = decode_np(loc[mask], priors[mask])
-        s = scores[mask]
+        return self._nms_tail(boxes, scores[mask], src_h, src_w, conf_th)
+
+    def _decode_one_topk(self, loc_k: np.ndarray, scores_k: np.ndarray,
+                         idx_k: np.ndarray, priors: np.ndarray,
+                         src_h: int, src_w: int,
+                         conf_th: float) -> np.ndarray:
+        """Decode from device-compacted rows. Rows are re-sorted back to
+        prior order first, so the result is bit-identical to
+        :meth:`_decode_one` whenever the >0.05 set fit in k (the caller
+        checks ``count`` and falls back otherwise)."""
+        mask = scores_k > 0.05
+        if not mask.any():
+            return np.empty((0, 5), np.float32)
+        idx = idx_k[mask]
+        order = np.argsort(idx)
+        idx = idx[order]
+        boxes = decode_np(loc_k[mask][order], priors[idx])
+        return self._nms_tail(boxes, scores_k[mask][order],
+                              src_h, src_w, conf_th)
+
+    def _nms_tail(self, boxes: np.ndarray, s: np.ndarray,
+                  src_h: int, src_w: int, conf_th: float) -> np.ndarray:
+        h, w = src_h, src_w
         dets = np.concatenate([boxes, s[:, None]], axis=1)
         keep = nms_np(dets, self.nms_thresh)[:self.top_k]
         dets = dets[keep]
@@ -307,8 +364,33 @@ class S3FDDetector:
                                s3fd_feature_maps(shape[0], shape[1]))
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
-                loc, scores = self._forward_scaled(
-                    np.stack([scaled[i] for i in chunk]))
+                stack = np.stack([scaled[i] for i in chunk])
+                if self.topk_device:
+                    loc_k, s_k, idx_k, count = self._forward_scaled_topk(
+                        stack)
+                    overflow = [j for j in range(len(chunk))
+                                if count[j] > loc_k.shape[1]]
+                    for j, i in enumerate(chunk):
+                        if j in overflow:
+                            continue
+                        h, w = images[i].shape[:2]
+                        all_dets[i] = self._decode_one_topk(
+                            loc_k[j], s_k[j], idx_k[j], priors, h, w,
+                            self.det_conf_th)
+                    if not overflow:
+                        continue
+                    # rare: more than k priors above 0.05 — re-run those
+                    # frames through the full grid for exactness
+                    sub = [chunk[j] for j in overflow]
+                    loc, scores = self._forward_scaled(
+                        np.stack([scaled[i] for i in sub]))
+                    for j, i in enumerate(sub):
+                        h, w = images[i].shape[:2]
+                        all_dets[i] = self._decode_one(
+                            loc[j], scores[j], priors, h, w,
+                            self.det_conf_th)
+                    continue
+                loc, scores = self._forward_scaled(stack)
                 for j, i in enumerate(chunk):
                     h, w = images[i].shape[:2]
                     all_dets[i] = self._decode_one(

@@ -29,7 +29,8 @@ import cv2
 import numpy as np
 
 from calipsync_tpu.config import CropConfig
-from calipsync_tpu.vision.geometry import center_160, crop_resize_168
+from calipsync_tpu.vision.geometry import (center_160, crop_resize_168,
+                                            save_landmarks_txt)
 
 
 def frame_rms_db(audio: np.ndarray, frame_length: int = 2048,
@@ -165,8 +166,9 @@ class TrainPreprocessor:
                     if lms is None or len(lms) == 0:
                         continue
                     lm = lms[0]
-                    np.savetxt(os.path.join(output_dir, "landmarks",
-                                            f"{i}.lms"), lm, fmt="%d")
+                    save_landmarks_txt(
+                        os.path.join(output_dir, "landmarks", f"{i}.lms"),
+                        lm, fmt="%d")
                     xmin, ymin = int(lm[1][0]), int(lm[52][1])
                     xmax = int(lm[31][0])
                     ymax = ymin + (xmax - xmin)

@@ -22,35 +22,48 @@ import numpy as np
 
 class InferPreprocessor:
     def __init__(self, lip_detector, batch_size: int = 32,
-                 mask_generator=None):
+                 mask_generator=None, write_workers: int = 4):
         """mask_generator: optional callable (frame, landmarks) -> (168,168)
         float mask — the XSeg hook (reference generate_mask:28-89)."""
         self.lip_detector = lip_detector
         self.batch_size = batch_size
         self.mask_generator = mask_generator
+        self.write_workers = write_workers
 
-    def _process_batch(self, frames, indices, infer_dir: str) -> None:
+    def _process_batch(self, frames, indices, infer_dir: str,
+                       pool=None) -> None:
+        from calipsync_tpu.vision.geometry import save_landmarks_txt
+
+        def write(fn, *args):
+            if pool is not None:
+                pool.submit(fn, *args)
+            else:
+                fn(*args)
+
         landmarks_list = self.lip_detector.detect_landmarks(frames)
         for lms, idx, frame in zip(landmarks_list, indices, frames):
             if lms is None or len(lms) == 0:
                 continue
             n = str(idx).zfill(6)
-            cv2.imwrite(os.path.join(infer_dir, "frames", f"{n}.jpg"),
-                        frame, [cv2.IMWRITE_JPEG_QUALITY, 95])
-            np.savetxt(os.path.join(infer_dir, "positions", f"{n}.txt"),
-                       lms[0])
+            write(cv2.imwrite, os.path.join(infer_dir, "frames",
+                                            f"{n}.jpg"),
+                  frame, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            save_landmarks_txt(os.path.join(infer_dir, "positions",
+                                            f"{n}.txt"), lms[0])
             lm = lms[0]
             xmin, ymin = int(lm[1][0]), int(lm[52][1])
             xmax = int(lm[31][0])
             width = xmax - xmin
             mouth = frame[ymin:ymin + width, xmin:xmax]
             if mouth.size > 0:
-                cv2.imwrite(os.path.join(infer_dir, "lips_jpg", f"{n}.jpg"),
-                            cv2.resize(mouth, (168, 168)))
+                write(cv2.imwrite,
+                      os.path.join(infer_dir, "lips_jpg", f"{n}.jpg"),
+                      cv2.resize(mouth, (168, 168)))
             if self.mask_generator is not None:
                 mask = self.mask_generator(frame, lm)
-                cv2.imwrite(os.path.join(infer_dir, "masks", f"{n}.jpg"),
-                            (np.clip(mask, 0, 1) * 255).astype(np.uint8))
+                write(cv2.imwrite,
+                      os.path.join(infer_dir, "masks", f"{n}.jpg"),
+                      (np.clip(mask, 0, 1) * 255).astype(np.uint8))
 
     def process_video(self, video_path: str, output_dir: str) -> dict:
         os.makedirs(output_dir, exist_ok=True)
@@ -85,15 +98,20 @@ class InferPreprocessor:
 
         from calipsync_tpu.data.dataset import Prefetcher
 
+        from concurrent.futures import ThreadPoolExecutor
+
         n = 0
         pf = Prefetcher(batches(), depth=2)
+        pool = ThreadPoolExecutor(max_workers=self.write_workers)
         try:
-            # decode-ahead thread overlaps cv2 reads with detection
+            # decode-ahead thread overlaps cv2 reads with detection;
+            # JPEG encodes go to a writer pool (cv2 releases the GIL)
             for buf, idxs in pf:
-                self._process_batch(buf, idxs, infer_dir)
+                self._process_batch(buf, idxs, infer_dir, pool=pool)
                 n = idxs[-1] + 1
         finally:
             pf.close()    # stop the decode thread BEFORE killing cap
             cap.release()
+            pool.shutdown(wait=True)
         return {"infer_dir": infer_dir, "srt_dir": srt_dir,
                 "processed_frames": n}

@@ -34,6 +34,39 @@ def load_landmarks(path: str) -> np.ndarray:
     return np.loadtxt(path, dtype=np.float32).astype(np.int32)
 
 
+_E18_CACHE: dict = {}
+
+
+def _e18(v) -> str:
+    """'%.18e' of an integer-valued coordinate, cached — landmark coords
+    are small ints, so formatting reduces to a dict hit."""
+    i = int(v)
+    if i == v:
+        s = _E18_CACHE.get(i)
+        if s is None:
+            s = _E18_CACHE[i] = "%.18e" % float(i)
+        return s
+    return "%.18e" % float(v)
+
+
+def save_landmarks_txt(path: str, lms: np.ndarray,
+                       fmt: str = "%.18e") -> None:
+    """Write landmarks byte-identically to ``np.savetxt(path, lms, fmt)``
+    for the two formats the pipelines use ('%.18e' the step3 positions
+    default, '%d' the step1 .lms files) — ~10x faster on the 1-core host
+    than savetxt's per-row % formatting."""
+    rows = np.asarray(lms)
+    if fmt == "%d":
+        text = "".join(f"{int(x)} {int(y)}\n" for x, y in rows)
+    elif fmt == "%.18e":
+        text = "".join(f"{_e18(x)} {_e18(y)}\n" for x, y in rows)
+    else:
+        np.savetxt(path, rows, fmt=fmt)
+        return
+    with open(path, "w") as f:
+        f.write(text)
+
+
 def mouth_bbox_train(lms: np.ndarray) -> tuple[int, int, int, int]:
     """Training-path square mouth bbox: x from lms[1]/lms[31], y from
     lms[52], side = width (dataset/dataset.py:83-88). No clamping."""

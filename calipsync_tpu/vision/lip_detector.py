@@ -60,7 +60,17 @@ class LipDetector:
         self.detector = face_detector
         self._model = PFLDGhostOne(deploy=True, dtype=dtype)
         self._variables = pfld_variables
-        self._fwd = jax.jit(self._model.apply)
+        model = self._model
+
+        @jax.jit
+        def fwd(variables, crops_u8):
+            # uint8 over the link (4x fewer bytes than fp32 on a remote
+            # TPU), /255 on device — bit-identical to host-side float
+            # conversion since resize output is uint8 either way.
+            return model.apply(variables,
+                               crops_u8.astype(jnp.float32) / 255.0)
+
+        self._fwd = fwd
 
     def _face_det(self, images: Sequence[np.ndarray]):
         """Reference crop logic (lip_detector.py:29-80), pixel-exact."""
@@ -95,10 +105,9 @@ class LipDetector:
     def _pfld_batch(self, crops: List[np.ndarray]) -> np.ndarray:
         """All crops -> (N, 220) in one padded, jitted forward."""
         n = len(crops)
-        batch = np.zeros((_bucket(n), PFLD_SIZE, PFLD_SIZE, 3), np.float32)
+        batch = np.zeros((_bucket(n), PFLD_SIZE, PFLD_SIZE, 3), np.uint8)
         for i, c in enumerate(crops):
-            batch[i] = cv2.resize(c, (PFLD_SIZE, PFLD_SIZE)).astype(
-                np.float32) / 255.0
+            batch[i] = cv2.resize(c, (PFLD_SIZE, PFLD_SIZE))
         out = self._fwd(self._variables, jnp.asarray(batch))
         return np.asarray(out[:n])
 

@@ -136,3 +136,21 @@ def test_prefetcher_close_after_exhaustion():
     with Prefetcher(iter([1, 2, 3]), depth=2) as pf:
         assert list(pf) == [1, 2, 3]
     assert not pf._thread.is_alive()
+
+
+def test_save_landmarks_txt_matches_np_savetxt(tmp_path):
+    """Byte-identical to np.savetxt for both pipeline formats ('%d' step1
+    .lms, '%.18e' step3 positions), including non-integer coords and the
+    arbitrary-format passthrough."""
+    from calipsync_tpu.vision.geometry import save_landmarks_txt
+
+    rng = np.random.default_rng(0)
+    int_lms = rng.integers(-5, 2000, (98, 2)).astype(np.int32)
+    frac_lms = int_lms.astype(np.float64) + rng.uniform(-0.5, 0.5, (98, 2))
+
+    for fmt in ("%d", "%.18e", "%.6f"):
+        for lms in (int_lms, frac_lms.astype(np.float32), frac_lms):
+            a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+            save_landmarks_txt(str(a), lms, fmt=fmt)
+            np.savetxt(str(b), lms, fmt=fmt)
+            assert a.read_bytes() == b.read_bytes(), (fmt, lms.dtype)

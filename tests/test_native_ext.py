@@ -39,3 +39,29 @@ def test_composite_edges():
     out = native_ext.composite_frame(frame, crop, fm, 40, 40)
     np.testing.assert_array_equal(out[40:, 40:], crop)
     assert out[:40].max() == 0
+
+
+def test_composite_runlength_paths_exact():
+    """The run-length select fast paths (a==0 / a==1 spans) and the
+    fractional XSeg segments agree byte-exactly with the numpy formula on
+    mixed-mask rows, including rect at frame borders."""
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        H = int(rng.integers(60, 200))
+        W = int(rng.integers(60, 200))
+        rh = int(rng.integers(4, 40))
+        rw = int(rng.integers(4, 40))
+        y0 = int(rng.integers(0, H - rh + 1))
+        x0 = int(rng.integers(0, W - rw + 1))
+        frame = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+        crop = rng.integers(0, 256, (rh, rw, 3)).astype(np.uint8)
+        fm = np.choose(rng.integers(0, 4, (rh, rw)),
+                       [0.0, 1.0, 0.37, 0.9]).astype(np.float32)
+
+        got = native_ext.composite_frame(frame, crop, fm, y0, x0)
+        out = frame.copy()
+        region = out[y0:y0 + rh, x0:x0 + rw]
+        blended = (crop.astype(np.float32) * fm[..., None]
+                   + region.astype(np.float32) * (1.0 - fm[..., None]))
+        out[y0:y0 + rh, x0:x0 + rw] = blended
+        np.testing.assert_array_equal(got, out)

@@ -134,3 +134,29 @@ def test_lip_detector_facade():
     # same image -> same landmarks (deterministic)
     again = det.detect_landmarks([imgs[0]])
     np.testing.assert_array_equal(results[0][0], again[0][0])
+
+
+def test_topk_compaction_matches_full_path():
+    """Device-side top-k prior compaction is bit-identical to the full
+    grid path — both in the common case and through the count-overflow
+    fallback (topk_device smaller than the >0.05 set)."""
+    model = S3FDBackbone()
+    variables = jax.jit(model.init)(jax.random.key(2),
+                                    jnp.zeros((1, 128, 128, 3)))
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (160, 128, 3)).astype(np.uint8)
+            for _ in range(5)]
+
+    full = S3FDDetector(variables, scale=1.0, det_conf_th=0.0,
+                        topk_device=0)
+    compact = S3FDDetector(variables, scale=1.0, det_conf_th=0.0,
+                           topk_device=512)
+    tiny = S3FDDetector(variables, scale=1.0, det_conf_th=0.0,
+                        topk_device=4)   # forces the overflow fallback
+
+    ref = full.detect(imgs)
+    for det in (compact, tiny):
+        got = det.detect(imgs)
+        for (b1, i1), (b2, i2) in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            assert i1 == i2
