@@ -215,6 +215,7 @@ class S3FDDetector:
         self.top_k = top_k
         self.batch_size = batch_size
         self.topk_device = topk_device
+        self._topk_sticky_off = False
         self.last_detection = None
 
         model = self.model
@@ -239,6 +240,12 @@ class S3FDDetector:
             # host falls back to the full forward for any image whose
             # above-threshold count exceeds k, so results stay
             # bit-identical to the uncompacted path always.
+            #
+            # Everything is packed into ONE (B, 6K+1) float32 buffer
+            # (idx/count bitcast, not converted): on this remote tunnel
+            # each separate host fetch is a 20-40 ms round trip, and the
+            # 4-fetch version measured SLOWER than the full grid despite
+            # 8x fewer bytes (interleaved A/B, tools/bench_preprocess.py).
             x = x_u8.astype(jnp.float32) - jnp.asarray(S3FD_MEAN_BGR,
                                                        jnp.float32)
             loc, conf = model.apply(variables, x)
@@ -247,7 +254,16 @@ class S3FDDetector:
             count = jnp.sum((s > 0.05).astype(jnp.int32), axis=1)
             vals, idx = jax.lax.top_k(s, k)
             l = jnp.take_along_axis(loc, idx[..., None], axis=1)
-            return l, vals, idx.astype(jnp.int32), count
+            body = jnp.concatenate(
+                [l, vals[..., None],
+                 jax.lax.bitcast_convert_type(idx.astype(jnp.int32),
+                                              jnp.float32)[..., None]],
+                axis=-1)                       # (B, K, 6)
+            packed = jnp.concatenate(
+                [body.reshape(body.shape[0], -1),
+                 jax.lax.bitcast_convert_type(count, jnp.float32)[:, None]],
+                axis=-1)                       # (B, 6K+1)
+            return packed
 
         self._fwd_batch_topk = fwd_u8_topk
 
@@ -285,10 +301,13 @@ class S3FDDetector:
             scaled_batch = np.concatenate(
                 [scaled_batch, np.zeros((b - n,) + scaled_batch.shape[1:],
                                         scaled_batch.dtype)])
-        loc, s, idx, count = self._fwd_batch_topk(self.variables,
-                                                  jnp.asarray(scaled_batch))
-        return (np.asarray(loc)[:n], np.asarray(s)[:n],
-                np.asarray(idx)[:n], np.asarray(count)[:n])
+        packed = np.asarray(self._fwd_batch_topk(
+            self.variables, jnp.asarray(scaled_batch)))  # ONE d2h fetch
+        count = packed[:, -1].copy().view(np.int32)[:n]
+        body = np.ascontiguousarray(
+            packed[:, :-1].reshape(len(packed), -1, 6)[:n])
+        idx = body[..., 5].copy().view(np.int32)
+        return body[..., 0:4], body[..., 4], idx, count
 
     def _decode_one(self, loc: np.ndarray, scores: np.ndarray,
                     priors: np.ndarray, src_h: int, src_w: int,
@@ -365,11 +384,20 @@ class S3FDDetector:
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
                 stack = np.stack([scaled[i] for i in chunk])
-                if self.topk_device:
+                if self.topk_device and not self._topk_sticky_off:
                     loc_k, s_k, idx_k, count = self._forward_scaled_topk(
                         stack)
                     overflow = [j for j in range(len(chunk))
                                 if count[j] > loc_k.shape[1]]
+                    if len(overflow) * 2 > len(chunk):
+                        # >half the batch exceeded k: this input regime
+                        # (e.g. an untrained net scoring every prior
+                        # >0.05) defeats compaction — running both
+                        # forwards per batch measured SLOWER than the
+                        # full grid alone. Disable compaction for the
+                        # rest of this detector's life; isolated
+                        # overflows below still fall back per-frame.
+                        self._topk_sticky_off = True
                     for j, i in enumerate(chunk):
                         if j in overflow:
                             continue

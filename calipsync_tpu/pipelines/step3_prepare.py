@@ -102,7 +102,9 @@ class InferPreprocessor:
 
         n = 0
         pf = Prefetcher(batches(), depth=2)
-        pool = ThreadPoolExecutor(max_workers=self.write_workers)
+        # write_workers=0 -> inline writes (no pool)
+        pool = (ThreadPoolExecutor(max_workers=self.write_workers)
+                if self.write_workers > 0 else None)
         try:
             # decode-ahead thread overlaps cv2 reads with detection;
             # JPEG encodes go to a writer pool (cv2 releases the GIL)
@@ -112,6 +114,7 @@ class InferPreprocessor:
         finally:
             pf.close()    # stop the decode thread BEFORE killing cap
             cap.release()
-            pool.shutdown(wait=True)
+            if pool is not None:
+                pool.shutdown(wait=True)
         return {"infer_dir": infer_dir, "srt_dir": srt_dir,
                 "processed_frames": n}

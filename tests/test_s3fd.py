@@ -138,8 +138,10 @@ def test_lip_detector_facade():
 
 def test_topk_compaction_matches_full_path():
     """Device-side top-k prior compaction is bit-identical to the full
-    grid path — both in the common case and through the count-overflow
-    fallback (topk_device smaller than the >0.05 set)."""
+    grid path — through the genuine compact path (k >= whole prior
+    grid, so no overflow), and through the count-overflow fallback +
+    sticky disable (untrained weights score every prior >0.05, which is
+    exactly the regime that trips it)."""
     model = S3FDBackbone()
     variables = jax.jit(model.init)(jax.random.key(2),
                                     jnp.zeros((1, 128, 128, 3)))
@@ -149,14 +151,26 @@ def test_topk_compaction_matches_full_path():
 
     full = S3FDDetector(variables, scale=1.0, det_conf_th=0.0,
                         topk_device=0)
+    # 160x128 input -> 1,708 priors: k=2048 holds the whole grid, so the
+    # compact decode path runs with zero overflow
     compact = S3FDDetector(variables, scale=1.0, det_conf_th=0.0,
-                           topk_device=512)
+                           topk_device=2048)
     tiny = S3FDDetector(variables, scale=1.0, det_conf_th=0.0,
                         topk_device=4)   # forces the overflow fallback
 
     ref = full.detect(imgs)
-    for det in (compact, tiny):
-        got = det.detect(imgs)
+    got_c = compact.detect(imgs)
+    assert not compact._topk_sticky_off      # the compact path really ran
+    got_t = tiny.detect(imgs)
+    assert tiny._topk_sticky_off             # wholesale overflow -> off
+    for got in (got_c, got_t):
         for (b1, i1), (b2, i2) in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
             assert i1 == i2
+
+    # sticky-off detectors keep producing full-path-identical results
+    more = [rng.integers(0, 255, (160, 128, 3)).astype(np.uint8)
+            for _ in range(3)]
+    for (b1, i1), (b2, i2) in zip(full.detect(more), tiny.detect(more)):
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        assert i1 == i2

@@ -5,6 +5,11 @@ bound on CPU; here detection runs batched under jit on the TPU) in
 frames/s over a synthetic speaker, including JPEG decode on the host.
 
 Env: PRE_BATCH (default 16), PRE_FRAMES (default 128), PRE_RES (720).
+PRE_AB=1 switches to an interleaved A/B (the tunnel's bandwidth drifts
+10x+ minute to minute, so sequential runs of two configs are not
+comparable): alternating passes of the optimized config (S3FD top-k
+device compaction + threaded JPEG writes) vs the round-2 config
+(full-grid d2h, inline writes) in ONE process, reporting medians.
 """
 
 import json
@@ -41,10 +46,14 @@ def main():
     pfld_train = jax.jit(PFLDGhostOne().init)(
         jax.random.key(1), jnp.zeros((1, 192, 192, 3)))
     pfld_vars = fold_mobileone_params(pfld_train)
-    lip = LipDetector(pfld_vars, np.zeros((220,), np.float32),
-                      S3FDDetector(s3fd_vars, scale=0.25))
 
     from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
+
+    def make_pre(topk: int = 512, workers: int = 4):
+        det = S3FDDetector(s3fd_vars, scale=0.25, topk_device=topk)
+        lip = LipDetector(pfld_vars, np.zeros((220,), np.float32), det)
+        return InferPreprocessor(lip, batch_size=batch,
+                                 write_workers=workers)
 
     with tempfile.TemporaryDirectory() as tmp:
         d = make_synthetic_speaker(tmp, n_frames=n_frames, res=1280,
@@ -59,7 +68,59 @@ def main():
                 d, "frames", f"{str(i).zfill(6)}.jpg")))
         vw.release()
 
-        pre = InferPreprocessor(lip, batch_size=batch)
+        if os.environ.get("PRE_FWD_AB", "0") == "1":
+            # Forward-level interleaved A/B: full-grid d2h vs packed
+            # device top-k, isolated from decode/NMS/JPEG. This is the
+            # production (trained-weights) regime's cost: a trained S3FD
+            # rarely overflows k, so the compact path runs alone.
+            det = make_pre().lip_detector.detector
+            stack = np.stack([det._scaled(
+                (np.random.default_rng(i).integers(
+                    0, 255, (1280, res, 3))).astype(np.uint8))
+                for i in range(batch)])
+            det._forward_scaled(stack)          # warm both executables
+            det._forward_scaled_topk(stack)
+            passes = int(os.environ.get("PRE_PASSES", "21"))
+            times = {"full": [], "topk": []}
+            for _ in range(passes):
+                t0 = time.time()
+                det._forward_scaled(stack)
+                times["full"].append((time.time() - t0) * 1e3)
+                t0 = time.time()
+                det._forward_scaled_topk(stack)
+                times["topk"].append((time.time() - t0) * 1e3)
+            med = {k: round(sorted(v)[len(v) // 2], 1)
+                   for k, v in times.items()}
+            print(json.dumps({"fwd_ab_ms_per_batch": med,
+                              "speedup": round(med["full"] / med["topk"],
+                                               2),
+                              "batch": batch, "scaled_hw": list(
+                                  stack.shape[1:3])}))
+            return
+
+        if os.environ.get("PRE_AB", "0") == "1":
+            configs = {"topk+pool": make_pre(512, 4),
+                       "topk": make_pre(512, 0),
+                       "pool": make_pre(0, 4),
+                       "base": make_pre(0, 0)}
+            for name, pre in configs.items():
+                pre.process_video(video, os.path.join(tmp, "w_" + name))
+            passes = int(os.environ.get("PRE_PASSES", "5"))
+            fps = {k: [] for k in configs}
+            for p in range(passes):
+                for name, pre in configs.items():
+                    t0 = time.time()
+                    pre.process_video(video,
+                                      os.path.join(tmp, f"{name}{p}"))
+                    fps[name].append(round(n_frames / (time.time() - t0),
+                                           1))
+            med = {k: sorted(v)[len(v) // 2] for k, v in fps.items()}
+            print(json.dumps({"ab": fps, "medians": med,
+                              "n_frames": n_frames,
+                              "res": f"1280x{res}", "batch": batch}))
+            return
+
+        pre = make_pre()
         out_dir = os.path.join(tmp, "warm")
         pre.process_video(video, out_dir)  # warm compile
 
