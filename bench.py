@@ -8,9 +8,15 @@ headline is the driver metric:
     {"metric": "lipsync_fps_per_chip", "value": N, "unit": "frames/s",
      "vs_baseline": N / 250, ...extra lines...}
 
+The headline is the MEDIAN of 3 timed passes (fps_passes lists them):
+the tunnel's bandwidth drifts minute to minute and a single pass can
+read 2x off the sustained rate in either direction.
+
 Extra keys (same JSON object):
   compute_only_fps   device dispatch + compute only, no d2h/compositing —
                      separates chip headroom from tunnel bandwidth
+  link_probe_MBps    raw d2h bandwidth at measurement time (context for
+                     cross-run comparisons; ~40-90 MB/s typical range)
   transfer_format    'yuv420' by default: the device packs planar I420
                      (half the d2h bytes; free in delivered quality —
                      every sink re-encodes 4:2:0). bgr_fps reports the
@@ -85,15 +91,22 @@ def make_synthetic_speaker(root: str, n_frames: int = 40,
     return infer
 
 
-def _measured_fps(synth, feats, warm_passes: int) -> float:
+def _measured_fps(synth, feats, warm_passes: int,
+                  timed_passes: int = 3) -> tuple[float, list]:
+    """Median of ``timed_passes`` full passes (plus the per-pass list).
+    The tunnel's bandwidth drifts minute to minute; a single-pass
+    reading can land 2x off the sustained rate in either direction."""
     for _ in range(warm_passes):
         for _ in synth.iterate_synthesized_frames(feats):
             pass
-    t0 = time.time()
-    n = 0
-    for _ in synth.iterate_synthesized_frames(feats):
-        n += 1
-    return n / (time.time() - t0)
+    fps = []
+    for _ in range(timed_passes):
+        t0 = time.time()
+        n = 0
+        for _ in synth.iterate_synthesized_frames(feats):
+            n += 1
+        fps.append(n / (time.time() - t0))
+    return sorted(fps)[len(fps) // 2], [round(f, 1) for f in fps]
 
 
 def _compute_only_fps(synth, feats) -> float:
@@ -159,8 +172,21 @@ def main() -> None:
                                  transfer_format=transfer)
         # two warm passes: compile + executable load + frame caches, on
         # exactly the measured shapes
-        fps = _measured_fps(synth, feats, warm_passes=2)
+        fps, fps_passes = _measured_fps(synth, feats, warm_passes=2)
         compute_fps = _compute_only_fps(synth, feats)
+        # raw link probe (context for run-to-run variance): fresh device
+        # array per rep — np.asarray on the same jax.Array caches
+        bump = jax.jit(lambda x: x + 1)
+        probe = jax.device_put(np.zeros((1 << 20,), np.uint8))
+        np.asarray(bump(probe))
+
+        def link_probe():
+            t0 = time.time()
+            for _ in range(4):
+                np.asarray(bump(probe))
+            return 4 * (1 << 20) / (time.time() - t0) / 1e6
+
+        link_mbps = link_probe()
         # time-to-first-frame: one synthesis-window burst — what a
         # streaming viewer waits after audio arrives. A window buckets
         # the feature length to 256 (its own executable), so warm that
@@ -175,11 +201,13 @@ def main() -> None:
                                          batch_size=batch, seed=0,
                                          pipeline_depth=depth,
                                          transfer_format="bgr")
-            bgr_fps = _measured_fps(ref_synth, feats, warm_passes=1)
+            bgr_fps, _ = _measured_fps(ref_synth, feats, warm_passes=1)
 
     out = {"metric": "lipsync_fps_per_chip", "value": round(fps, 2),
            "unit": "frames/s", "vs_baseline": round(fps / 250.0, 3),
+           "fps_passes": fps_passes,
            "compute_only_fps": round(compute_fps, 2),
+           "link_probe_MBps": round(link_mbps, 1),
            "first_frame_latency_ms": round(ttf_ms, 1),
            "transfer_format": transfer}
     if bgr_fps is not None:
@@ -198,14 +226,18 @@ def main() -> None:
                                      pipeline_depth=depth,
                                      max_cached_frames=cache_cap,
                                      transfer_format=transfer)
-            r_fps = _measured_fps(synth, real_feats, warm_passes=1)
+            r_fps, r_passes = _measured_fps(synth, real_feats,
+                                            warm_passes=1)
             r_compute = _compute_only_fps(synth, real_feats)
             out["realistic_720p"] = {
                 "n_frames": n_real, "resolution": "1280x720",
                 "host_cache_cap": cache_cap,
                 "resident_store_active": synth._crops_dev is not None,
-                "fps": round(r_fps, 2),
+                "fps": round(r_fps, 2), "fps_passes": r_passes,
                 "compute_only_fps": round(r_compute, 2),
+                # the tunnel can drift 10x between the headline section
+                # and this one — record the link rate it actually saw
+                "link_probe_MBps": round(link_probe(), 1),
             }
 
     print(json.dumps(out))
