@@ -150,7 +150,35 @@ class TrainPreprocessor:
         pool = ThreadPoolExecutor(max_workers=16)
         from calipsync_tpu.data.dataset import Prefetcher
 
+        from collections import deque
+
         pf = Prefetcher(self._frame_batches(video_path), depth=2)
+        # detection one batch ahead on its own thread (same shape as
+        # step3): device dispatch/transfer waits of batch k+1 overlap
+        # the host-side crop/encode work of batch k
+        det_ex = ThreadPoolExecutor(max_workers=1)
+        inflight: deque = deque()
+
+        def handle(batch, indices, landmarks_list):
+            for i, frame, lms in zip(indices, batch, landmarks_list):
+                if lms is None or len(lms) == 0:
+                    continue
+                lm = lms[0]
+                save_landmarks_txt(
+                    os.path.join(output_dir, "landmarks", f"{i}.lms"),
+                    lm, fmt="%d")
+                xmin, ymin = int(lm[1][0]), int(lm[52][1])
+                xmax = int(lm[31][0])
+                ymax = ymin + (xmax - xmin)
+                face = frame[ymin:ymax, xmin:xmax]
+                if face.size > 0:
+                    face = center_160(
+                        crop_resize_168(frame, ymin, ymax, xmin, xmax,
+                                        self.crop), self.crop)
+                    pool.submit(cv2.imwrite,
+                                os.path.join(output_dir, "faces",
+                                             f"{i}.jpg"), face)
+
         try:
             # decode-ahead: the capture thread reads batch k+1 while the
             # detector/PFLD run batch k (the reference is decode-bound,
@@ -161,28 +189,19 @@ class TrainPreprocessor:
                     pool.submit(cv2.imwrite,
                                 os.path.join(output_dir, "full_body_img",
                                              f"{i}.jpg"), frame)
-                landmarks_list = self.lip_detector.detect_landmarks(batch)
-                for i, frame, lms in zip(indices, batch, landmarks_list):
-                    if lms is None or len(lms) == 0:
-                        continue
-                    lm = lms[0]
-                    save_landmarks_txt(
-                        os.path.join(output_dir, "landmarks", f"{i}.lms"),
-                        lm, fmt="%d")
-                    xmin, ymin = int(lm[1][0]), int(lm[52][1])
-                    xmax = int(lm[31][0])
-                    ymax = ymin + (xmax - xmin)
-                    face = frame[ymin:ymax, xmin:xmax]
-                    if face.size > 0:
-                        face = center_160(
-                            crop_resize_168(frame, ymin, ymax, xmin, xmax,
-                                            self.crop), self.crop)
-                        pool.submit(cv2.imwrite,
-                                    os.path.join(output_dir, "faces",
-                                                 f"{i}.jpg"), face)
+                inflight.append(
+                    (det_ex.submit(self.lip_detector.detect_landmarks,
+                                   batch), batch, indices))
+                if len(inflight) >= 2:
+                    fut, b, ix = inflight.popleft()
+                    handle(b, ix, fut.result())
                 total += len(batch)
+            while inflight:
+                fut, b, ix = inflight.popleft()
+                handle(b, ix, fut.result())
         finally:
             pf.close()    # joins the decode thread; generator's finally
+            det_ex.shutdown(wait=True)
             pool.shutdown(wait=True)    # then releases the capture
 
         self.fix_missing_landmarks(output_dir)

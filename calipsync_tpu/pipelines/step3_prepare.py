@@ -22,16 +22,26 @@ import numpy as np
 
 class InferPreprocessor:
     def __init__(self, lip_detector, batch_size: int = 32,
-                 mask_generator=None, write_workers: int = 4):
+                 mask_generator=None, write_workers: int = 4,
+                 pipeline_detect: bool = True):
         """mask_generator: optional callable (frame, landmarks) -> (168,168)
-        float mask — the XSeg hook (reference generate_mask:28-89)."""
+        float mask — the XSeg hook (reference generate_mask:28-89).
+        pipeline_detect: run detection one batch ahead on its own thread
+        (False = sequential, for A/B measurement)."""
         self.lip_detector = lip_detector
         self.batch_size = batch_size
         self.mask_generator = mask_generator
         self.write_workers = write_workers
+        self.pipeline_detect = pipeline_detect
 
     def _process_batch(self, frames, indices, infer_dir: str,
                        pool=None) -> None:
+        landmarks_list = self.lip_detector.detect_landmarks(frames)
+        self._write_batch(landmarks_list, frames, indices, infer_dir,
+                          pool=pool)
+
+    def _write_batch(self, landmarks_list, frames, indices,
+                     infer_dir: str, pool=None) -> None:
         from calipsync_tpu.vision.geometry import save_landmarks_txt
 
         def write(fn, *args):
@@ -40,7 +50,6 @@ class InferPreprocessor:
             else:
                 fn(*args)
 
-        landmarks_list = self.lip_detector.detect_landmarks(frames)
         for lms, idx, frame in zip(landmarks_list, indices, frames):
             if lms is None or len(lms) == 0:
                 continue
@@ -100,20 +109,45 @@ class InferPreprocessor:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        from collections import deque
+
         n = 0
         pf = Prefetcher(batches(), depth=2)
         # write_workers=0 -> inline writes (no pool)
         pool = (ThreadPoolExecutor(max_workers=self.write_workers)
                 if self.write_workers > 0 else None)
+        # Detection runs one batch ahead on its own thread: the device
+        # dispatches + transfer waits of batch k+1 overlap the host-side
+        # JPEG/landmark writes of batch k (everything hot in both stages
+        # — cv2, the tunnel wait — releases the GIL). Depth 1 is enough:
+        # detection is the long pole and stays continuously busy.
+        det_ex = ThreadPoolExecutor(max_workers=1)
+        inflight: deque = deque()
         try:
             # decode-ahead thread overlaps cv2 reads with detection;
             # JPEG encodes go to a writer pool (cv2 releases the GIL)
             for buf, idxs in pf:
-                self._process_batch(buf, idxs, infer_dir, pool=pool)
-                n = idxs[-1] + 1
+                if not self.pipeline_detect:
+                    self._process_batch(buf, idxs, infer_dir, pool=pool)
+                    n = idxs[-1] + 1
+                    continue
+                inflight.append(
+                    (det_ex.submit(self.lip_detector.detect_landmarks,
+                                   buf), buf, idxs))
+                if len(inflight) >= 2:
+                    fut, b, ix = inflight.popleft()
+                    self._write_batch(fut.result(), b, ix, infer_dir,
+                                      pool=pool)
+                    n = ix[-1] + 1
+            while inflight:
+                fut, b, ix = inflight.popleft()
+                self._write_batch(fut.result(), b, ix, infer_dir,
+                                  pool=pool)
+                n = ix[-1] + 1
         finally:
             pf.close()    # stop the decode thread BEFORE killing cap
             cap.release()
+            det_ex.shutdown(wait=True)
             if pool is not None:
                 pool.shutdown(wait=True)
         return {"infer_dir": infer_dir, "srt_dir": srt_dir,

@@ -49,11 +49,13 @@ def main():
 
     from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
 
-    def make_pre(topk: int = 512, workers: int = 4):
+    def make_pre(topk: int = 512, workers: int = 4,
+                 pipeline: bool = True):
         det = S3FDDetector(s3fd_vars, scale=0.25, topk_device=topk)
         lip = LipDetector(pfld_vars, np.zeros((220,), np.float32), det)
         return InferPreprocessor(lip, batch_size=batch,
-                                 write_workers=workers)
+                                 write_workers=workers,
+                                 pipeline_detect=pipeline)
 
     with tempfile.TemporaryDirectory() as tmp:
         d = make_synthetic_speaker(tmp, n_frames=n_frames, res=1280,
@@ -99,10 +101,10 @@ def main():
             return
 
         if os.environ.get("PRE_AB", "0") == "1":
-            configs = {"topk+pool": make_pre(512, 4),
-                       "topk": make_pre(512, 0),
-                       "pool": make_pre(0, 4),
-                       "base": make_pre(0, 0)}
+            configs = {"pipelined": make_pre(512, 4, True),
+                       "sequential": make_pre(512, 4, False),
+                       "pipelined-notopk": make_pre(0, 4, True),
+                       "sequential-base": make_pre(0, 0, False)}
             for name, pre in configs.items():
                 pre.process_video(video, os.path.join(tmp, "w_" + name))
             passes = int(os.environ.get("PRE_PASSES", "5"))
