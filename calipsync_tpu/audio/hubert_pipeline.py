@@ -39,12 +39,23 @@ class HubertFeatureExtractor:
                  config: Optional[HubertConfig] = None,
                  dtype=None, bucket_samples: int = 32_000,
                  kernel: int = KERNEL, stride: int = STRIDE,
-                 clip_samples: int = CLIP_SAMPLES):
+                 clip_samples: int = CLIP_SAMPLES,
+                 mesh=None, model_axis: str = "model"):
         """kernel/stride/clip_samples parameterize the chunk math (the
         reference hard-codes 400/320/320000 for HuBERT-large,
         utils/hubert_extractor.py:26-28); overriding them lets tests run
-        the identical chunk semantics on tiny configs."""
+        the identical chunk semantics on tiny configs.
+
+        ``mesh``: optional jax Mesh with a ``model_axis`` axis — shards the
+        encoder tensor-parallel (core/tp.py) so HuBERT-large's 315M params
+        split across chips; the call site is unchanged (GSPMD inserts the
+        Megatron all-reduces over ICI)."""
         self.config = config or HubertConfig.large()
+        if mesh is not None:
+            from calipsync_tpu.core.tp import shard_hubert_variables
+
+            variables = shard_hubert_variables(
+                variables, mesh, axis=model_axis, config=self.config)
         self.variables = variables
         self.model = HubertModel(self.config, dtype=dtype)
         self.bucket = bucket_samples
