@@ -124,7 +124,9 @@ def _compute_only_fps(synth, feats) -> float:
     fd = jnp.asarray(padded)
     bs = synth.batch_size
 
-    jax.block_until_ready(synth._dispatch(
+    from calipsync_tpu.profiling import device_sync
+
+    device_sync(synth._dispatch(
         [None] * bs, list(range(bs)), list(range(bs)), fd))  # warm
     t0 = time.time()
     last = None
@@ -133,7 +135,7 @@ def _compute_only_fps(synth, feats) -> float:
         seq = synth.sequencer.next(end - start)
         last = synth._dispatch([None] * (end - start), seq,
                                list(range(start, end)), fd)
-    jax.block_until_ready(last)
+    device_sync(last)
     return total / (time.time() - t0)
 
 

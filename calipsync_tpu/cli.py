@@ -162,6 +162,22 @@ def cmd_cost(args):
     print(json.dumps(generator_cost(batch=args.batch)["gflops"]))
 
 
+def cmd_verify_weights(args):
+    """Run every applicable importer over real checkpoint files and
+    report key coverage + parameter counts (calipsync_tpu.verify_weights)."""
+    from calipsync_tpu.verify_weights import verify_weights
+
+    reports = verify_weights(
+        weights_dir=args.weights_dir, generator=args.generator,
+        generator_mode=args.mode, syncnet=args.syncnet,
+        hubert=args.hubert, vgg=args.vgg,
+        lpips_trunk=args.lpips_trunk, lpips_heads=args.lpips_heads)
+    print(json.dumps(reports, indent=2))
+    bad = [r for r in reports if r["status"] in ("error",
+                                                 "unconsumed-keys")]
+    raise SystemExit(1 if bad else 0)
+
+
 def cmd_eval(args):
     """Frame-wise PSNR (+ optional LPIPS) between two videos — the
     fidelity harness behind the PARITY artifacts, as a user surface."""
@@ -399,6 +415,24 @@ def main(argv=None):
                     help="torchvision trunk checkpoint for LPIPS")
     sp.add_argument("--lpips-net", default="vgg", choices=["vgg", "alex"])
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "verify-weights",
+        help="check real checkpoint files against every importer "
+             "(key coverage, param counts)")
+    sp.add_argument("--weights-dir", default=None,
+                    help="reference weight-dir layout: mean_face.txt, "
+                         "sfd_face.pth, checkpoint_epoch_335.pth.tar "
+                         "[, yolov8n_face_state_dict.pth]")
+    sp.add_argument("--generator", default=None, help="UNet .pth")
+    sp.add_argument("--mode", default="hubert",
+                    choices=["hubert", "wenet"])
+    sp.add_argument("--syncnet", default=None, help="SyncNet .pth")
+    sp.add_argument("--hubert", default=None, help="HF checkpoint dir")
+    sp.add_argument("--vgg", default=None, help="torchvision vgg19 .pth")
+    sp.add_argument("--lpips-trunk", default=None)
+    sp.add_argument("--lpips-heads", default=None)
+    sp.set_defaults(fn=cmd_verify_weights)
 
     sp = sub.add_parser(
         "slice", help="slice audio into 5-12 s speech segments "

@@ -17,6 +17,24 @@ from typing import Dict
 import jax
 
 
+def device_sync(tree) -> None:
+    """Completion barrier that is reliable on remote backends.
+
+    On the axon tunnel, ``jax.block_until_ready`` can return at
+    dispatch-ack instead of execution completion (it was observed to
+    no-op in processes that had not yet fetched any value), which makes
+    naive timing measure only enqueue throughput. A 1-element
+    device-to-host fetch of a value data-dependent on the output cannot
+    return early. Use this (not ``block_until_ready``) to end any timed
+    region.
+    """
+    import numpy as np
+
+    leaf = jax.tree.leaves(tree)[0]
+    idx = (0,) * getattr(leaf, "ndim", 0)
+    np.asarray(jax.device_get(leaf[idx] if idx else leaf))
+
+
 class StageTimer:
     """Accumulating wall-clock timers keyed by stage name."""
 

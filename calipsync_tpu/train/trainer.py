@@ -145,6 +145,22 @@ def make_resident_train_step(model: Generator,
     numerically identical to the host-batch step for the same indices
     (tests/test_train_step.py).
     """
+    shard_step = _resident_shard_step(model, tx, train_cfg, crop,
+                                      use_perceptual, axis_name)
+    axes = ((axis_name,) if isinstance(axis_name, str)
+            else tuple(axis_name))
+
+    mapped = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(axes), P(axes), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def _resident_shard_step(model, tx, train_cfg, crop, use_perceptual,
+                         axis_name):
+    """Per-shard resident step body (runs inside shard_map)."""
     from calipsync_tpu.config import CropConfig
 
     crop = crop or CropConfig()
@@ -187,9 +203,50 @@ def make_resident_train_step(model: Generator,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, metrics
 
+    return shard_step
+
+
+def make_resident_multi_step(model: Generator,
+                             tx: optax.GradientTransformation,
+                             mesh: Mesh, train_cfg: TrainConfig,
+                             crop=None, use_perceptual: bool = True,
+                             axis_name="data"):
+    """K steps per dispatch: ``lax.scan`` over pre-uploaded index blocks.
+
+    The per-step variant pays one host->device round-trip per step for
+    12 bytes of indices — on a remote link (20-40 ms RTT) that bounds
+    training at ~10 steps/s regardless of chip speed. Here the host ships
+    a (K, B) index block once and the whole K-step epoch chunk runs as ONE
+    XLA program; the reference has no equivalent (its loop is
+    host-driven per batch, step2_train_unet.py:94-123).
+
+    The scan lives INSIDE the shard_map (one GSPMD program looping on
+    device) — scanning over a jitted shard_map'd step would re-enter
+    pjit per iteration and measure ~8x slower.
+
+    Returns fn(state, store, idx (K,B), fidx (K,B), ex (K,B),
+    audio_feats, vgg_variables) -> (state, metrics) where metrics are
+    per-step stacked (each leaf (K,)). Numerics are identical to K calls
+    of make_resident_train_step (tests/test_train_step.py).
+    """
+    shard_step = _resident_shard_step(model, tx, train_cfg, crop,
+                                      use_perceptual, axis_name)
+    axes = ((axis_name,) if isinstance(axis_name, str)
+            else tuple(axis_name))
+
+    def shard_many(state: TrainState, store, idx, fidx, ex, audio_feats,
+                   vgg_variables):
+        def body(st, xs):
+            i, f, e = xs
+            return shard_step(st, store, i, f, e, audio_feats,
+                              vgg_variables)
+
+        return jax.lax.scan(body, state, (idx, fidx, ex))
+
     mapped = jax.shard_map(
-        shard_step, mesh=mesh,
-        in_specs=(P(), P(), P(axes), P(axes), P(axes), P(), P()),
+        shard_many, mesh=mesh,
+        in_specs=(P(), P(), P(None, axes), P(None, axes),
+                  P(None, axes), P(), P()),
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,))

@@ -324,6 +324,47 @@ def test_build_lip_detector_on_real_weight_layouts(reference_path,
     assert isinstance(lip2.detector, YoloV8FaceDetector)
 
 
+def test_verify_weights_flow(reference_path, tmp_path):
+    """The one-shot verify-weights sweep (cli verify-weights) reports
+    ok + full key coverage on the real on-disk layouts, and 'missing'
+    for absent files."""
+    import torch
+
+    from calipsync_tpu.verify_weights import verify_weights
+
+    s3fd_dir = reference_path / "utils" / "lip_detector" / "tools" / "s3fd"
+    pkg = types.ModuleType("ref_s3fd_pkg_vw")
+    pkg.__path__ = [str(s3fd_dir)]
+    sys.modules["ref_s3fd_pkg_vw"] = pkg
+    for name in ("box_utils", "nets"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_s3fd_pkg_vw.{name}", s3fd_dir / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_s3fd_pkg_vw.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+    torch.save(pkg.nets.S3FDNet(device="cpu").state_dict(),
+               str(tmp_path / "sfd_face.pth"))
+    ref_pfld = _load_ref_pfld(reference_path)
+    torch.save({"epoch": 1,
+                "pfld_backbone":
+                    ref_pfld.PFLD_GhostOne(0.5, 192, 110).state_dict()},
+               str(tmp_path / "checkpoint_epoch_335.pth.tar"))
+    (tmp_path / "mean_face.txt").write_text(" ".join(["0.5"] * 220))
+
+    reports = {r["artifact"]: r for r in verify_weights(str(tmp_path))}
+    assert reports["mean_face"]["status"] == "ok"
+    assert reports["s3fd"]["status"] == "ok"
+    assert reports["s3fd"]["keys_unconsumed"] == []
+    assert reports["s3fd"]["imported_params"] > 10_000
+    assert reports["pfld"]["status"] == "ok"
+    assert reports["pfld"]["keys_unconsumed"] == []
+
+    empty = {r["artifact"]: r
+             for r in verify_weights(str(tmp_path / "nowhere"))}
+    assert all(r["status"] == "missing" for r in empty.values())
+
+
 # ---------------------------------------------------------------------------
 # YOLOv8n-face: real ultralytics checkpoint key listing (ADVICE r2)
 # ---------------------------------------------------------------------------

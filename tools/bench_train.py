@@ -53,6 +53,7 @@ def main():
                                             ResidentLipSyncDataset,
                                             batch_iterator)
     from calipsync_tpu.nn.vgg import VGG19Features
+    from calipsync_tpu.profiling import device_sync
     from calipsync_tpu.train.trainer import (adam, build_model,
                                              create_train_state,
                                              make_resident_train_step,
@@ -95,14 +96,14 @@ def main():
         idx, fidx, ex = next(it)
         state, m = fn(state, res_ds.store_dev, jnp.asarray(idx),
                       jnp.asarray(fidx), jnp.asarray(ex), feats, vgg_vars)
-        jax.block_until_ready(m["loss"])  # compile + warm
+        device_sync(m["loss"])  # compile + warm
         t0 = time.time()
         for _ in range(steps):
             idx, fidx, ex = next(it)
             state, m = fn(state, res_ds.store_dev, jnp.asarray(idx),
                           jnp.asarray(fidx), jnp.asarray(ex), feats,
                           vgg_vars)
-        jax.block_until_ready(m["loss"])
+        device_sync(m["loss"])
         out["resident_samples_per_s"] = round(
             steps * batch / (time.time() - t0), 1)
 
@@ -122,11 +123,11 @@ def main():
         pre = Prefetcher(host_batches(), depth=2,
                          put_fn=lambda b: shard_batch(b, mesh))
         state, m = fn(state, next(pre), feats, vgg_vars)
-        jax.block_until_ready(m["loss"])
+        device_sync(m["loss"])
         t0 = time.time()
         for _ in range(steps):
             state, m = fn(state, next(pre), feats, vgg_vars)
-        jax.block_until_ready(m["loss"])
+        device_sync(m["loss"])
         out["host_samples_per_s"] = round(
             steps * batch / (time.time() - t0), 1)
 
