@@ -39,6 +39,26 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REFERENCE = pathlib.Path("/root/reference")
 
+# Test tiers (VERDICT r2 item: the full suite takes ~1 h on this 1-core
+# host). Modules that build torch reference twins, run multi-process
+# launchers, train, or compile many executables are marked `heavy`;
+# `pytest -m "not heavy"` is the fast tier for iteration, the full run
+# stays the merge gate.
+HEAVY_TEST_MODULES = {
+    "test_composed_parity.py", "test_unet_parity.py", "test_hubert.py",
+    "test_s3fd.py", "test_pfld.py", "test_yolo.py", "test_lpips.py",
+    "test_tp.py", "test_multihost.py", "test_pipelines_e2e.py",
+    "test_train_step.py", "test_kernels.py", "test_multi_stream.py",
+    "test_synthesizer.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if fname in HEAVY_TEST_MODULES:
+            item.add_marker(pytest.mark.heavy)
+
 
 @pytest.fixture(scope="session")
 def reference_path():
