@@ -178,6 +178,61 @@ def cmd_verify_weights(args):
     raise SystemExit(1 if bad else 0)
 
 
+def cmd_sync_score(args):
+    """LSE-style lip-sync scoring of a generated video against its audio
+    features (SyncNet offset scan, eval.sync_metrics)."""
+    import cv2
+    import numpy as np
+
+    from calipsync_tpu.eval import sync_metrics
+
+    if not args.lips_dir and not args.video:
+        raise SystemExit("pass --video or --lips-dir")
+    if args.lips_dir:
+        import glob as _glob
+
+        paths = sorted(_glob.glob(os.path.join(args.lips_dir, "*.jpg")))
+        if args.max_frames:
+            paths = paths[:args.max_frames]
+        crops = np.stack([cv2.resize(cv2.imread(p), (160, 160))
+                          for p in paths])
+    else:
+        cap = cv2.VideoCapture(args.video)
+        frames = []
+        while len(frames) < args.max_frames:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.resize(f, (160, 160)))
+        cap.release()
+        if not frames:
+            raise SystemExit(f"no frames in {args.video}")
+        crops = np.stack(frames)
+
+    feats = np.load(args.features)
+    variables = None
+    if args.syncnet:
+        from calipsync_tpu.core.weights import load_torch_state_dict
+        from calipsync_tpu.nn.syncnet import import_syncnet
+
+        variables = import_syncnet(load_torch_state_dict(args.syncnet),
+                                   mode=args.mode)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from calipsync_tpu.nn.syncnet import SyncNet
+
+        variables = jax.jit(SyncNet(mode=args.mode).init)(
+            jax.random.key(0), jnp.zeros((1, 160, 160, 3)),
+            jnp.zeros((1, 32, 32, 32) if args.mode == "hubert"
+                      else (1, 16, 32, 256)))
+    report = sync_metrics(variables, crops, feats, mode=args.mode,
+                          max_offset=args.max_offset)
+    report["weights"] = args.syncnet or "random-init (relative scores only)"
+    print(json.dumps(report, indent=2))
+
+
 def cmd_eval(args):
     """Frame-wise PSNR (+ optional LPIPS) between two videos — the
     fidelity harness behind the PARITY artifacts, as a user surface."""
@@ -415,6 +470,26 @@ def main(argv=None):
                     help="torchvision trunk checkpoint for LPIPS")
     sp.add_argument("--lpips-net", default="vgg", choices=["vgg", "alex"])
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "sync-score",
+        help="LSE-style lip-sync score of a generated video vs its "
+             "audio features (SyncNet offset scan)")
+    sp.add_argument("--video", default=None,
+                    help="generated mp4 (frames resized to 160x160)")
+    sp.add_argument("--lips-dir", default=None,
+                    help="directory of pre-cropped mouth jpgs "
+                         "(step3 infer_data/lips_jpg) - preferred")
+    sp.add_argument("--features", required=True,
+                    help="aud_hu.npy HuBERT rows for the same audio")
+    sp.add_argument("--syncnet", default=None,
+                    help="trained SyncNet .pth (absent = random init, "
+                         "relative scores only)")
+    sp.add_argument("--mode", default="hubert",
+                    choices=["hubert", "wenet"])
+    sp.add_argument("--max-offset", type=int, default=15)
+    sp.add_argument("--max-frames", type=int, default=500)
+    sp.set_defaults(fn=cmd_sync_score)
 
     sp = sub.add_parser(
         "verify-weights",

@@ -103,6 +103,86 @@ def make_default_lpips(net: str = "vgg", seed: int = 0,
     return module, {"params": params}
 
 
+def sync_metrics(syncnet_variables: dict, crops, features,
+                 model=None, mode: str = "hubert", max_offset: int = 15,
+                 batch: int = 64, apply_fn=None) -> dict:
+    """LSE-style audio/visual sync scoring via a SyncNet offset scan.
+
+    The reference uses its SyncNet only as a training filter
+    (module/syncnet.py:357-361 cosine loss; train_utils 3-strikes rule);
+    this gives the same embeddings an evaluation surface, following the
+    standard SyncNet protocol (Chung & Zisserman; Wav2Lip's LSE-D/LSE-C):
+    embed every frame and its audio window once, then scan integer frame
+    offsets ``o`` in [-max_offset, max_offset] —
+
+        sim(o) = mean_i cos(face_emb[i], audio_emb[i + o])
+
+    Args:
+      syncnet_variables: {'params','batch_stats'} for :class:`SyncNet`
+        (imported real weights for meaningful absolute numbers).
+      crops: (N, 160, 160, 3) uint8/float mouth crops, the generator's
+        output convention (BGR [0,1] after /255).
+      features: (T, 2, 1024) HuBERT rows (or WeNet rows), frame i's
+        window taken exactly as training does (audio/windows.py).
+      apply_fn: optional override (variables, faces, windows) ->
+        (audio_emb, face_emb) — used by tests and custom encoders.
+
+    Returns dict with:
+      av_offset_frames: argmax offset (0 = in sync; positive = audio
+        leads video by that many frames).
+      lse_c: confidence = sim(best) - median over the scan (higher =
+        stronger sync signal, Wav2Lip's LSE-C convention).
+      lse_d: 1 - sim(best), a distance (lower is better).
+      sim_at_zero / sim_best: raw mean cosine similarities.
+    """
+    from calipsync_tpu.audio.windows import batched_windows
+    from calipsync_tpu.nn.syncnet import SyncNet
+
+    crops = np.asarray(crops)
+    n = len(crops)
+    if crops.dtype == np.uint8:
+        crops = crops.astype(np.float32) / 255.0
+    if apply_fn is None:
+        net = model or SyncNet(mode=mode)
+        apply_fn = jax.jit(lambda v, f, a: net.apply(v, f, a, train=False))
+
+    feats_dev = jnp.asarray(features, jnp.float32)
+    a_parts, f_parts = [], []
+    for start in range(0, n, batch):
+        idx = np.arange(start, min(start + batch, n), dtype=np.int32)
+        pad = batch - len(idx)
+        windows = batched_windows(
+            feats_dev, jnp.asarray(np.pad(idx, (0, pad))), mode=mode)
+        faces = jnp.asarray(np.pad(crops[idx],
+                                   ((0, pad), (0, 0), (0, 0), (0, 0))))
+        a_emb, f_emb = apply_fn(syncnet_variables, faces, windows)
+        a_parts.append(np.asarray(a_emb, np.float64)[:len(idx)])
+        f_parts.append(np.asarray(f_emb, np.float64)[:len(idx)])
+    a = np.concatenate(a_parts)
+    f = np.concatenate(f_parts)
+    a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    f /= np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+
+    offsets = np.arange(-max_offset, max_offset + 1)
+    sims = np.full(len(offsets), -np.inf)
+    for k, o in enumerate(offsets):
+        lo, hi = max(0, -o), min(n, n - o)
+        if hi - lo < 1:
+            continue
+        sims[k] = float(np.mean(np.sum(f[lo:hi] * a[lo + o:hi + o],
+                                       axis=1)))
+    best = int(np.argmax(sims))
+    finite = sims[np.isfinite(sims)]
+    return {
+        "n_frames": n,
+        "av_offset_frames": int(offsets[best]),
+        "sim_best": round(float(sims[best]), 6),
+        "sim_at_zero": round(float(sims[max_offset]), 6),
+        "lse_c": round(float(sims[best] - np.median(finite)), 6),
+        "lse_d": round(float(1.0 - sims[best]), 6),
+    }
+
+
 def generator_parity_report(reference_torch_model,
                             batch: int = 2, seed: int = 0,
                             dtype=None) -> dict:
