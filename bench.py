@@ -119,7 +119,9 @@ def _compute_only_fps(synth, feats) -> float:
     total = len(feats)
     bucket = 256
     padded_t = max(bucket, -(-total // bucket) * bucket)
-    padded = np.zeros((padded_t,) + feats.shape[1:], np.float32)
+    # match the production feature-transfer dtype (bf16 for bf16 models)
+    # so this reuses the serving executable instead of tracing a second
+    padded = np.zeros((padded_t,) + feats.shape[1:], synth._feat_dtype)
     padded[:total] = feats
     fd = jnp.asarray(padded)
     bs = synth.batch_size

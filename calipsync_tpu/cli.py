@@ -24,7 +24,8 @@ import json
 import os
 
 
-def build_lip_detector(weights_dir: str, dtype=None):
+def build_lip_detector(weights_dir: str, dtype=None,
+                       detect_stride: int = 1):
     """Weights dir -> LipDetector. Detector priority mirrors the
     reference's (lip_detector.py:12-22, yolov8n-face active): a
     ``yolov8n_face_state_dict.pth`` (plain state_dict — dump once with
@@ -54,7 +55,8 @@ def build_lip_detector(weights_dir: str, dtype=None):
         os.path.join(weights_dir, "checkpoint_epoch_335.pth.tar"),
         key="pfld_backbone")
     pfld_vars = fold_mobileone_params(import_pfld(pfld_sd))
-    return LipDetector(pfld_vars, mean_face, detector, dtype=dtype)
+    return LipDetector(pfld_vars, mean_face, detector, dtype=dtype,
+                       detect_stride=detect_stride)
 
 
 def build_hubert(hubert_path: str, dtype=None):
@@ -119,8 +121,10 @@ def cmd_step3(args):
         from calipsync_tpu.vision.xseg import XSegMaskGenerator
 
         mask_gen = XSegMaskGenerator(model_path=args.xseg)
-    pre = InferPreprocessor(build_lip_detector(args.weights),
-                            mask_generator=mask_gen)
+    pre = InferPreprocessor(
+        build_lip_detector(args.weights,
+                           detect_stride=args.detect_stride),
+        mask_generator=mask_gen)
     out = pre.process_video(args.video, args.out)
     print(json.dumps(out))
 
@@ -357,6 +361,8 @@ def cmd_serve(args):
         buffer_threshold=int(cfg.infer.fps * cfg.infer.buffer_threshold_s),
         output_sample_rate=sample_rate, fps=cfg.infer.fps,
         is_interrupt=args.interrupt)
+    log.info("warming up (compiling cold-path executables)...")
+    mgr.warmup()
     mgr.start_playing()
     log.info("serving; drop .wav files into %s (danmu_* = priority)",
              args.watch)
@@ -416,6 +422,9 @@ def main(argv=None):
                     help="optional xseg.onnx path: generate per-frame "
                          "compositing masks (reference ships this "
                          "disabled)")
+    sp.add_argument("--detect-stride", type=int, default=1,
+                    help="run face detection every Nth frame, reusing "
+                         "boxes in between (PFLD still per-frame)")
     common(sp, "weights")
     sp.set_defaults(fn=cmd_step3)
 

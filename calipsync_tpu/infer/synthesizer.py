@@ -268,6 +268,17 @@ class FrameSynthesizer:
         self.model = model or Generator()
         self.variables = variables
         self.mesh = mesh
+        # Feature-transfer dtype: when the model computes in bf16,
+        # uploading the HuBERT rows as bf16 is bit-identical (the device
+        # path is gather -> zero-mask -> astype(bf16), and casting before
+        # the value-preserving gather equals casting after) and HALVES
+        # h2d bytes — per 1 s serving window the fp32 feature upload
+        # (2 MB bucket) otherwise outweighs the yuv420 frame d2h.
+        import ml_dtypes
+
+        self._feat_dtype = (ml_dtypes.bfloat16
+                            if self.model.dtype == jnp.bfloat16
+                            else np.float32)
         if transfer_format not in ("bgr", "yuv420"):
             raise ValueError(f"unknown transfer_format: {transfer_format}")
         self.transfer_format = transfer_format
@@ -466,8 +477,14 @@ class FrameSynthesizer:
         # reference's edge padding, and indices past `total` are never
         # requested, so results are unchanged.
         bucket = 256
-        padded_t = max(bucket, -(-total // bucket) * bucket)
-        feats = np.zeros((padded_t,) + features.shape[1:], np.float32)
+        # Short (streaming-window) feature blocks get their own small
+        # bucket: a 25-frame window padded to 256 rows uploads 8x the
+        # bytes it needs; 64 covers every 1-2 s window with one extra
+        # cached executable.
+        padded_t = (64 if total <= 64
+                    else max(bucket, -(-total // bucket) * bucket))
+        feats = np.zeros((padded_t,) + features.shape[1:],
+                         self._feat_dtype)
         feats[:total] = features
         feats_dev = (self._replicate(feats) if self.mesh is not None
                      else jnp.asarray(feats))

@@ -152,6 +152,13 @@ class MultiStreamSynthesizer:
                        -(-len(feats) // self.feature_bucket)
                        * self.feature_bucket)
         feats = np.pad(feats, ((0, padded_t - len(feats)), (0, 0), (0, 0)))
+        if self.model.dtype == jnp.bfloat16:
+            # bit-identical to uploading fp32 and casting on device
+            # (see FrameSynthesizer._feat_dtype); halves the per-tick
+            # feature h2d (a 16-stream tick uploads ~8 MB fp32)
+            import ml_dtypes
+
+            feats = feats.astype(ml_dtypes.bfloat16)
         feats_dev = self._put(feats)
 
         # dispatch ALL device batches first (async under jit), then gather:
@@ -171,22 +178,26 @@ class MultiStreamSynthesizer:
                 preds.copy_to_host_async()
             pending.append((start, len(chunk), preds))
 
-        preds_all = np.empty((len(jobs), self.crop.size, self.crop.size, 3),
-                             np.uint8)
-        for start, n, preds in pending:
-            rows = np.asarray(preds)[:n]
-            if self.transfer_format == "yuv420":
-                preds_all[start:start + n] = np.stack(
-                    [yuv420_unpack(r, self.crop.size) for r in rows])
-            else:
-                preds_all[start:start + n] = rows.reshape(
-                    -1, self.crop.size, self.crop.size, 3)
-
+        # gather + composite PER BATCH: np.asarray blocks only on that
+        # batch's (already started) d2h copy, so unpack + paste-back of
+        # batch k runs on the host while batches k+1.. stream over the
+        # link — the same overlap the single-stream pipeline gets from
+        # its worker threads, without thread overhead at tick scale
         out: Dict[str, List[dict]] = {sid: [] for sid in requests}
-        for (st, spk, phys_g, _, entry), pred in zip(jobs, preds_all):
-            st.logical_index += 1
-            frame = spk._paste_back(pred, entry)
-            out[st.stream_id].append({
-                "frame": frame, "index": st.logical_index,
-                "physical_index": phys_g - self._offsets[st.speaker]})
+        size = self.crop.size
+        job_pos = 0
+        for _start, n, preds in pending:
+            rows = np.asarray(preds)[:n]
+            for r in rows:
+                st, spk, phys_g, _, entry = jobs[job_pos]
+                job_pos += 1
+                if self.transfer_format == "yuv420":
+                    pred = yuv420_unpack(r, size)
+                else:
+                    pred = r.reshape(size, size, 3)
+                st.logical_index += 1
+                frame = spk._paste_back(pred, entry)
+                out[st.stream_id].append({
+                    "frame": frame, "index": st.logical_index,
+                    "physical_index": phys_g - self._offsets[st.speaker]})
         return out

@@ -82,6 +82,10 @@ class StreamingVideoManager:
             buffer_threshold / fps)
         self._silence_batches: Optional[list[AudioBatch]] = None
         self._producer: Optional[threading.Thread] = None
+        # Stage timestamps for the FIRST produced window (time-to-first-
+        # frame accounting): producer_start -> collected -> synth_first
+        # -> uploaded, all time.monotonic(). Read after start_playing.
+        self.ttf_marks: dict[str, float] = {}
 
     # ------------- audio ingestion -------------
 
@@ -204,9 +208,22 @@ class StreamingVideoManager:
                     out.append(q.get())
         return out, sync, current_path
 
+    def warmup(self) -> None:
+        """Compile/populate every cold-start dependency before the clock
+        starts: the silence featurization (HuBERT + its length bucket),
+        the silence batch cache, and the synthesis-window executable.
+        Call before :meth:`start_playing` for sub-second warm TTF."""
+        batches = self._silence_window()
+        feats = np.stack([b.hubert_feature for b in batches])
+        for _ in self.synthesizer.iterate_synthesized_frames(feats, 0,
+                                                             True):
+            pass
+
     def _producer_loop(self) -> None:
         last_frame_index = 0
         current_path: Optional[str] = None
+        first = True
+        self.ttf_marks["producer_start"] = time.monotonic()
         while self.player and self.player.running:
             try:
                 if self.player.get_queue_length() >= self.buffer_threshold:
@@ -225,6 +242,8 @@ class StreamingVideoManager:
                     batch, sync = self._silence_window(), True
                     if not self.is_interrupt:
                         current_path = self.silence_audio_path
+                if first:
+                    self.ttf_marks["collected"] = time.monotonic()
 
                 from calipsync_tpu.metrics import global_metrics
 
@@ -234,9 +253,16 @@ class StreamingVideoManager:
                     for i, info in enumerate(
                             self.synthesizer.iterate_synthesized_frames(
                                 feats, last_frame_index, sync)):
+                        if not (self.player and self.player.running):
+                            break  # stop_playing mid-window: exit promptly
+                        if first:
+                            self.ttf_marks["synth_first"] = time.monotonic()
                         if i < len(batch):
                             info["audio"] = batch[i].original_audio_chunk
                             self.player.upload_frame(info)
+                            if first:
+                                self.ttf_marks["uploaded"] = time.monotonic()
+                                first = False
                             m.count("serve.frames")
                 m.gauge("serve.player_buffer",
                         self.player.get_queue_length())

@@ -47,7 +47,7 @@ def _bucket(n: int) -> int:
 
 class LipDetector:
     def __init__(self, pfld_variables: dict, mean_face: np.ndarray,
-                 face_detector, dtype=None):
+                 face_detector, dtype=None, detect_stride: int = 1):
         """
         Args:
           pfld_variables: deploy-form (folded) PFLD params.
@@ -55,9 +55,20 @@ class LipDetector:
           face_detector: object with ``detect(images) -> [(bboxes_xywh,
             indices)]`` (S3FDDetector or any plug-in; reference keeps this
             pluggable at lip_detector.py:21-22).
+          detect_stride: run the face detector on every Nth frame of a
+            sequential stream, reusing the previous detection's boxes in
+            between — PFLD still runs on EVERY frame, so landmarks stay
+            per-frame accurate while the detector dispatch + prior NMS
+            (the preprocess long pole) drop by ~N. A generalization of
+            the last-good-detection failure fallback to intentional
+            skipping; only valid when ``detect_landmarks`` is fed frames
+            in video order (step1/step3 loops).
         """
         self.mean_face = mean_face.astype(np.float32)
         self.detector = face_detector
+        self.detect_stride = max(1, int(detect_stride))
+        self._stride_carry = None  # last (bboxes, indices) seen
+        self._stride_phase = 0     # frames since that detection
         self._model = PFLDGhostOne(deploy=True, dtype=dtype)
         self._variables = pfld_variables
         model = self._model
@@ -72,9 +83,29 @@ class LipDetector:
 
         self._fwd = fwd
 
+    def _detections(self, images: Sequence[np.ndarray]):
+        """Detector results per image, honoring ``detect_stride``."""
+        stride = self.detect_stride
+        if stride <= 1:
+            return self.detector.detect(images)
+        need = [i for i in range(len(images))
+                if (self._stride_phase + i) % stride == 0]
+        if self._stride_carry is None and (not need or need[0] != 0):
+            need.insert(0, 0)
+        fresh = (self.detector.detect([images[i] for i in need])
+                 if need else [])
+        out, j = [], 0
+        for i in range(len(images)):
+            if j < len(need) and i == need[j]:
+                self._stride_carry = fresh[j]
+                j += 1
+            out.append(self._stride_carry)
+        self._stride_phase = (self._stride_phase + len(images)) % stride
+        return out
+
     def _face_det(self, images: Sequence[np.ndarray]):
         """Reference crop logic (lip_detector.py:29-80), pixel-exact."""
-        detections = self.detector.detect(images)
+        detections = self._detections(images)
         crops_list, offsets_list = [], []
         for img, (bboxes, indices) in zip(images, detections):
             crops, offsets = [], []

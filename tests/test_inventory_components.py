@@ -112,6 +112,48 @@ def test_scrfd_keypoint_decode_padded_portrait():
     np.testing.assert_allclose(kps[0, 1], [360, 680], atol=1e-3)
 
 
+def test_detect_stride_propagates_boxes():
+    """detect_stride=N: the detector runs on every Nth frame of the
+    stream (state carried across batches), boxes are reused in between,
+    and on a static face the landmarks match stride=1 exactly (PFLD
+    still runs per frame)."""
+    from calipsync_tpu.nn.pfld import PFLDGhostOne, fold_mobileone_params
+    from calipsync_tpu.vision.lip_detector import LipDetector
+
+    class CountingDetector:
+        def __init__(self):
+            self.calls = 0
+
+        def detect(self, images):
+            self.calls += len(images)
+            return [(np.array([[200, 300, 180, 180]], np.float32),
+                     [0]) for _ in images]
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (720, 640, 3)).astype(np.uint8)
+    frames = [frame] * 7  # static face
+
+    pfld = PFLDGhostOne()
+    variables = jax.jit(pfld.init)(jax.random.key(0),
+                                   jnp.zeros((1, 192, 192, 3)))
+    variables = jax.tree.map(lambda x: x * 0.05, variables)
+    folded = fold_mobileone_params(variables)
+    mean_face = np.zeros(220, np.float32)
+
+    d1, d3 = CountingDetector(), CountingDetector()
+    lip1 = LipDetector(folded, mean_face, d1)
+    lip3 = LipDetector(folded, mean_face, d3, detect_stride=3)
+
+    res1 = lip1.detect_landmarks(frames)
+    # two batches, to exercise the cross-batch phase carry
+    res3 = (lip3.detect_landmarks(frames[:4])
+            + lip3.detect_landmarks(frames[4:]))
+    assert d1.calls == 7
+    assert d3.calls == 3  # frames 0, 3, 6
+    for a, b in zip(res1, res3):
+        np.testing.assert_array_equal(a[0], b[0])
+
+
 def test_legacy_landmark_on_real_scrfd_decode():
     """LegacyLandmark driven by the production SCRFD keypoint decode (not
     a stub): the eye keypoints above give a 45-degree roll; the rotate-

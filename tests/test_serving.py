@@ -142,6 +142,32 @@ def _const_wav(tmp_path, name, seconds, value, sr=16_000):
     return path
 
 
+def test_warmup_and_ttf_marks(tmp_path):
+    """warmup() pre-featurizes silence + pre-runs a synthesis window
+    WITHOUT uploading frames; after start_playing the producer records
+    the first window's stage timestamps in ttf_marks."""
+    seen = []
+    player = NullPlayer(fps=100, on_frame=lambda it: seen.append(it))
+    fake = _FakeSynth()
+    mgr = StreamingVideoManager(fake, _FakeHubert(), player,
+                                buffer_threshold=5,
+                                synthesis_window_seconds=0.2)
+    mgr.warmup()
+    assert fake.calls == 1            # the warm window ran
+    assert mgr._silence_batches is not None  # silence cache populated
+    assert not seen                   # nothing uploaded during warmup
+    mgr.start_playing()
+    deadline = time.time() + 10
+    while time.time() < deadline and len(seen) < 3:
+        time.sleep(0.01)
+    mgr.stop_playing()
+    marks = mgr.ttf_marks
+    assert {"producer_start", "collected", "synth_first",
+            "uploaded"} <= set(marks)
+    assert (marks["producer_start"] <= marks["collected"]
+            <= marks["synth_first"] <= marks["uploaded"])
+
+
 def test_producer_error_backoff_recovers(tmp_path):
     """Producer survives a synthesis exception: backs off, keeps streaming
     (reference infer_api.py:309-315)."""

@@ -5,12 +5,20 @@ queues -> synthesis windows -> audio-pegged player) for SOAK_SECONDS of
 wall clock with audio files dropped in periodically, then reports:
 
   frames played vs expected at 25 fps, final A/V drift from the player's
-  pegged clock, producer errors, and queue health.
+  pegged clock, time-to-first-frame stage breakdown, producer errors,
+  peak RSS, and queue health.
 
 This is the live counterpart of the simulated-clock zero-drift test
 (tests/test_serving.py): same invariant, real time, real device.
 
-Env: SOAK_SECONDS (default 60), SOAK_BATCH (default 32).
+Env: SOAK_SECONDS (default 60), SOAK_BATCH (default 32), SOAK_HUBERT
+(real = full-size 24-layer JAX HuBERT-large featurization in the loop,
+the default; toy = deterministic stand-in), SOAK_FAULTS=1 injects a
+synthesis exception every 13th window and a player render error every
+97th frame (the producer's catch-and-backoff and the player's
+keep-the-clock-alive paths must hold drift under one frame), and
+SOAK_INTERRUPT=1 runs the manager in interrupt mode (danmu preempts
+mid-file).
 """
 
 import json
@@ -27,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 class _ToyHubert:
     """Deterministic features at the real cadence (2 rows per frame pair),
-    standing in for the 315M model so the soak isolates serving timing."""
+    standing in for the 315M model so the soak isolates serving timing
+    (SOAK_HUBERT=toy)."""
 
     def extract_from_file(self, path):
         from calipsync_tpu.audio.io import load_audio
@@ -37,6 +46,24 @@ class _ToyHubert:
         rng = np.random.default_rng(abs(hash(os.path.basename(path)))
                                     % 2**31)
         return rng.standard_normal((n, 2, 1024)).astype(np.float32)
+
+
+def _real_hubert():
+    """The full-size (315M-param, 24-layer) JAX HuBERT-large at serving
+    precision, randomly initialized — real featurization compute and
+    latency in the loop without the absent pretrained weights
+    (SOAK_HUBERT=real, the default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from calipsync_tpu.audio.hubert_pipeline import HubertFeatureExtractor
+    from calipsync_tpu.nn.hubert import HubertConfig, HubertModel
+
+    config = HubertConfig.large()
+    model = HubertModel(config, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 16_000), jnp.float32))
+    return HubertFeatureExtractor(variables, config, dtype=jnp.bfloat16)
 
 
 def main():
@@ -55,24 +82,42 @@ def main():
     enable_compile_cache()
     seconds = float(os.environ.get("SOAK_SECONDS", "60"))
     batch = int(os.environ.get("SOAK_BATCH", "32"))
+    res = int(os.environ.get("SOAK_RES", "480"))
+    faults = os.environ.get("SOAK_FAULTS", "0") == "1"
+    interrupt = os.environ.get("SOAK_INTERRUPT", "0") == "1"
+    hubert_kind = os.environ.get("SOAK_HUBERT", "real")
+    hubert = _real_hubert() if hubert_kind == "real" else _ToyHubert()
 
     model = Generator(dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.key(0),
                                     jnp.zeros((1, 160, 160, 6)),
                                     jnp.zeros((1, 32, 32, 32)))
 
+    render_faults = {"n": 0}
+
+    class _FaultyNullPlayer(NullPlayer):
+        """Injects a render error every 97th frame; BasePlayer._run must
+        keep the clock alive through it (the frame is dropped, the audio
+        clock still advances)."""
+
+        def _render(self, item):
+            render_faults["n"] += 1
+            if faults and render_faults["n"] % 97 == 0:
+                raise RuntimeError("injected render fault")
+
     played = []
     with tempfile.TemporaryDirectory() as tmp:
-        assets = make_synthetic_speaker(tmp, res=480)
+        assets = make_synthetic_speaker(tmp, res=res)
         synth = FrameSynthesizer(variables, assets, model=model,
                                  batch_size=batch, seed=0,
                                  transfer_format="yuv420")
-        player = NullPlayer(fps=25, sample_rate=24_000,
-                            on_frame=lambda it: played.append(
-                                time.monotonic()))
-        mgr = StreamingVideoManager(synth, _ToyHubert(), player,
+        player = _FaultyNullPlayer(fps=25, sample_rate=24_000,
+                                   on_frame=lambda it: played.append(
+                                       time.monotonic()))
+        mgr = StreamingVideoManager(synth, hubert, player,
                                     buffer_threshold=25,
-                                    synthesis_window_seconds=1.0)
+                                    synthesis_window_seconds=1.0,
+                                    is_interrupt=interrupt)
 
         def tone(name, dur, freq):
             p = os.path.join(tmp, name)
@@ -83,11 +128,23 @@ def main():
 
         clips = [tone(f"clip{i}.wav", 4.0, 150 + 40 * i)
                  for i in range(4)]
-        # compile the window-sized executable BEFORE the clock starts
-        # (cold compile is minutes over this toolchain)
-        warm = np.zeros((25, 2, 1024), np.float32)
-        for _ in synth.iterate_synthesized_frames(warm):
-            pass
+        # compile every cold-path executable BEFORE the clock starts
+        # (cold compile is minutes over this toolchain): silence
+        # featurization, silence batch cache, window synthesis
+        mgr.warmup()
+        if faults:
+            real_iter = synth.iterate_synthesized_frames
+            windows = {"n": 0}
+
+            def flaky_iter(feats, start_frame_idx=0,
+                           is_generate_sync_frame=True):
+                windows["n"] += 1
+                if windows["n"] % 13 == 0:
+                    raise RuntimeError("injected synthesis fault")
+                return real_iter(feats, start_frame_idx,
+                                 is_generate_sync_frame)
+
+            synth.iterate_synthesized_frames = flaky_iter
         mgr.start_playing()
         t0 = time.monotonic()
         i = 0
@@ -113,15 +170,25 @@ def main():
                                   "re-run with the warm cache"}))
         return
     paced = (played[-1] - played[0]) / max(n - 1, 1)
+    marks = dict(mgr.ttf_marks)
+    base = marks.pop("producer_start", t0)
     print(json.dumps({
         "wall_s": round(elapsed, 2),
         "frames_played": n,
-        "first_frame_after_s": round(played[0] - t0, 2),
+        "hubert": hubert_kind,
+        "first_frame_after_s": round(played[0] - t0, 3),
+        "ttf_stages_s": {k: round(v - base, 3)
+                         for k, v in marks.items()},
         "mean_frame_period_s": round(paced, 5),
         "expected_period_s": 0.04,
         "audio_seconds_played": round(samples / 24_000.0, 2),
         "av_drift_s": round(drift, 4),
         "producer_errors": mgr.producer_errors,
+        "faults_injected": faults,
+        "interrupt_mode": interrupt,
+        "render_fault_count": (render_faults["n"] // 97 if faults else 0),
+        "peak_rss_mb": round(__import__("resource").getrusage(
+            __import__("resource").RUSAGE_SELF).ru_maxrss / 1024.0, 1),
     }))
 
 
