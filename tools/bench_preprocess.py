@@ -50,9 +50,10 @@ def main():
     from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
 
     def make_pre(topk: int = 512, workers: int = 4,
-                 pipeline: bool = True):
+                 pipeline: bool = True, stride: int = 1):
         det = S3FDDetector(s3fd_vars, scale=0.25, topk_device=topk)
-        lip = LipDetector(pfld_vars, np.zeros((220,), np.float32), det)
+        lip = LipDetector(pfld_vars, np.zeros((220,), np.float32), det,
+                          detect_stride=stride)
         return InferPreprocessor(lip, batch_size=batch,
                                  write_workers=workers,
                                  pipeline_detect=pipeline)
@@ -105,6 +106,13 @@ def main():
                        "sequential": make_pre(512, 4, False),
                        "pipelined-notopk": make_pre(0, 4, True),
                        "sequential-base": make_pre(0, 0, False)}
+            if os.environ.get("PRE_STRIDE_AB", "0") == "1":
+                # stride A/B instead: detection every Nth frame with box
+                # propagation vs every frame (both pipelined+topk).
+                # Detectors are stateful across passes; fresh per config.
+                configs = {"stride1": make_pre(512, 4, True, 1),
+                           "stride4": make_pre(512, 4, True, 4),
+                           "stride8": make_pre(512, 4, True, 8)}
             for name, pre in configs.items():
                 pre.process_video(video, os.path.join(tmp, "w_" + name))
             passes = int(os.environ.get("PRE_PASSES", "5"))
