@@ -95,8 +95,10 @@ def main():
     step_fn.lower(state, batch, feats, {}).compile()
     from jax._src.distributed import global_state
 
+    # 40 min: under full-suite CPU contention the two ranks' serialized
+    # compiles have been observed to straddle a 20-min barrier.
     global_state.client.wait_at_barrier("worker_compiled",
-                                        timeout_in_ms=1_200_000)
+                                        timeout_in_ms=2_400_000)
 
     losses = []
     for _ in range(3):
@@ -116,7 +118,7 @@ def main():
     # Rendezvous again BEFORE interpreter exit so the faster rank's
     # exit-time shutdown barrier can't time out against a lagging peer.
     global_state.client.wait_at_barrier("worker_done",
-                                        timeout_in_ms=1_200_000)
+                                        timeout_in_ms=2_400_000)
     jax.distributed.shutdown()
 
 

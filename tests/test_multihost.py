@@ -95,7 +95,7 @@ def test_two_process_dcn_training_and_checkpoint_reshard(tmp_path):
     results = {}
     logs = {}
     for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=1500)
+        out, _ = p.communicate(timeout=2700)
         logs[pid] = out
         for line in out.splitlines():
             if line.startswith("RESULT "):

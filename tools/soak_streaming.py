@@ -172,7 +172,7 @@ def main():
     paced = (played[-1] - played[0]) / max(n - 1, 1)
     marks = dict(mgr.ttf_marks)
     base = marks.pop("producer_start", t0)
-    print(json.dumps({
+    out = ({
         "wall_s": round(elapsed, 2),
         "frames_played": n,
         "hubert": hubert_kind,
@@ -189,7 +189,13 @@ def main():
         "render_fault_count": (render_faults["n"] // 97 if faults else 0),
         "peak_rss_mb": round(__import__("resource").getrusage(
             __import__("resource").RUSAGE_SELF).ru_maxrss / 1024.0, 1),
-    }))
+    })
+    print(json.dumps(out))
+    path = os.environ.get("SOAK_OUT")
+    if path:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2, sort_keys=True)
+            f.write("\n")
 
 
 if __name__ == "__main__":
