@@ -67,6 +67,13 @@ class TrainConfig:
     # crop store would exceed this many bytes of HBM, step2 falls back to
     # the streaming LipSyncDataset instead of OOMing the device.
     resident_max_bytes: int = 4 << 30
+    # K train steps per device dispatch on the resident path (lax.scan
+    # inside shard_map, trainer.make_resident_multi_step): removes the
+    # per-step host round-trip — pays when step time < link RTT. 1 =
+    # one dispatch per step. Partial tail blocks are dropped (the same
+    # drop_last policy as partial batches); an epoch smaller than one
+    # block is wrap-padded so tiny datasets still train.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,7 @@ from calipsync_tpu.data.dataset import (LipSyncDataset, Prefetcher,
 from calipsync_tpu.nn.vgg import VGG19Features, import_vgg19_features
 from calipsync_tpu.train.trainer import (adam, build_model,
                                          create_train_state,
+                                         make_resident_multi_step,
                                          make_resident_train_step,
                                          make_train_step)
 
@@ -91,11 +92,12 @@ def train_digital_model(dataset_dir: str, save_dir: str,
             print(f"training crop store {store_bytes >> 20} MiB exceeds "
                   f"resident_max_bytes; using the streaming dataset")
             resident = False
+    k = max(1, cfg.train.steps_per_dispatch) if resident else 1
     if resident:
-        step_fn = make_resident_train_step(model, tx, mesh, cfg.train,
-                                           crop=cfg.crop,
-                                           use_perceptual=use_perceptual,
-                                           axis_name=axes)
+        maker = (make_resident_multi_step if k > 1
+                 else make_resident_train_step)
+        step_fn = maker(model, tx, mesh, cfg.train, crop=cfg.crop,
+                        use_perceptual=use_perceptual, axis_name=axes)
         ds = ResidentLipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop,
                                     mesh=mesh,
                                     num_workers=cfg.train.num_workers)
@@ -121,28 +123,62 @@ def train_digital_model(dataset_dir: str, save_dir: str,
                                 num_workers=cfg.train.num_workers)
             batches = Prefetcher(it, depth=2,
                                  put_fn=lambda b: shard_batch(b, mesh))
-        epoch_loss, n_batches = 0.0, 0
+        # losses stay on device (tiny scalars); ONE stacked fetch per
+        # epoch — float() per step would block the host on the link RTT
+        # every batch. Log-point fetches still sync, but only 1/log_every.
+        losses, n_batches = [], 0
         try:
-            for batch in batches:
-                if resident:
-                    idx, fidx, ex = batch
-                    state, metrics = step_fn(state, ds.store_dev,
-                                             jnp.asarray(idx),
-                                             jnp.asarray(fidx),
-                                             jnp.asarray(ex),
-                                             feats_dev, vgg_variables)
-                else:
-                    state, metrics = step_fn(state, batch, feats_dev,
-                                             vgg_variables)
-                epoch_loss += float(metrics["loss"])
-                n_batches += 1
-                if log_every and n_batches % log_every == 0:
-                    print(f"epoch {epoch + 1}/{cfg.train.epochs} "
-                          f"batch {n_batches} "
-                          f"loss {float(metrics['loss']):.6f}")
+            if resident and k > 1:
+                # group index batches into (K, B) blocks: K steps run as
+                # one XLA program (no per-step round-trip). Partial tail
+                # blocks are dropped (the same drop_last policy as
+                # partial batches) unless the whole epoch is smaller
+                # than one block, which is wrap-padded so tiny datasets
+                # still train.
+                all_batches = list(batches)
+                stop = (len(all_batches) // k) * k
+                if stop == 0 and all_batches:
+                    n0 = len(all_batches)
+                    all_batches = [all_batches[i % n0] for i in range(k)]
+                    stop = k
+                for bi in range(0, stop, k):
+                    block = all_batches[bi:bi + k]
+                    n_real = len(block)
+                    arr = np.asarray(block)  # (K, 3, B)
+                    state, metrics = step_fn(
+                        state, ds.store_dev, jnp.asarray(arr[:, 0]),
+                        jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
+                        feats_dev, vgg_variables)
+                    losses.append(metrics["loss"][:n_real])
+                    n_batches += n_real
+                    if log_every and (bi // k) % max(
+                            1, log_every // k) == 0:
+                        print(f"epoch {epoch + 1}/{cfg.train.epochs} "
+                              f"batch {n_batches} "
+                              f"loss {float(metrics['loss'][n_real - 1]):.6f}")
+            else:
+                for batch in batches:
+                    if resident:
+                        idx, fidx, ex = batch
+                        state, metrics = step_fn(state, ds.store_dev,
+                                                 jnp.asarray(idx),
+                                                 jnp.asarray(fidx),
+                                                 jnp.asarray(ex),
+                                                 feats_dev, vgg_variables)
+                    else:
+                        state, metrics = step_fn(state, batch, feats_dev,
+                                                 vgg_variables)
+                    losses.append(metrics["loss"])
+                    n_batches += 1
+                    if log_every and n_batches % log_every == 0:
+                        print(f"epoch {epoch + 1}/{cfg.train.epochs} "
+                              f"batch {n_batches} "
+                              f"loss {float(metrics['loss']):.6f}")
         finally:
             if isinstance(batches, Prefetcher):
                 batches.close()  # don't leak the decode thread on error
+        epoch_loss = (float(jnp.sum(jnp.concatenate(
+            [jnp.atleast_1d(l) for l in losses]))) if losses else 0.0)
         final = epoch == cfg.train.epochs - 1
         periodic = (cfg.train.checkpoint_every
                     and (epoch + 1) % cfg.train.checkpoint_every == 0)

@@ -210,7 +210,8 @@ def make_resident_multi_step(model: Generator,
                              tx: optax.GradientTransformation,
                              mesh: Mesh, train_cfg: TrainConfig,
                              crop=None, use_perceptual: bool = True,
-                             axis_name="data"):
+                             axis_name="data",
+                             unroll: Optional[bool] = None):
     """K steps per dispatch: ``lax.scan`` over pre-uploaded index blocks.
 
     The per-step variant pays one host->device round-trip per step for
@@ -226,13 +227,28 @@ def make_resident_multi_step(model: Generator,
 
     Returns fn(state, store, idx (K,B), fidx (K,B), ex (K,B),
     audio_feats, vgg_variables) -> (state, metrics) where metrics are
-    per-step stacked (each leaf (K,)). Numerics are identical to K calls
-    of make_resident_train_step (tests/test_train_step.py).
+    per-step stacked (each leaf (K,)). The per-step loss sequence matches
+    K calls of make_resident_train_step to rtol 1e-6 (step k's loss is
+    computed from step k-1's carried params, proving the scan carry);
+    raw params agree to Adam's sign-flip envelope — for a near-zero grad
+    element the step-1 update is lr*sign(g), so cross-program fp
+    reassociation can swing single elements by up to 2*lr
+    (tests/test_train_step.py::test_multi_step_matches_per_step).
+
+    ``unroll``: True emits K straight-line copies of the step instead of
+    a device loop. Default (None) picks by backend: loop on TPU,
+    unrolled on CPU — XLA:CPU's thunk runtime deadlocks on a collective
+    (psum/pmean) inside a while-loop body (the single intra-op worker
+    blocks in the rendezvous; observed on the 8-virtual-device test
+    mesh), so the CPU path must be loop-free. TPU compiles the loop body
+    once and is unaffected.
     """
     shard_step = _resident_shard_step(model, tx, train_cfg, crop,
                                       use_perceptual, axis_name)
     axes = ((axis_name,) if isinstance(axis_name, str)
             else tuple(axis_name))
+    if unroll is None:
+        unroll = jax.default_backend() == "cpu"
 
     def shard_many(state: TrainState, store, idx, fidx, ex, audio_feats,
                    vgg_variables):
@@ -241,7 +257,7 @@ def make_resident_multi_step(model: Generator,
             return shard_step(st, store, i, f, e, audio_feats,
                               vgg_variables)
 
-        return jax.lax.scan(body, state, (idx, fidx, ex))
+        return jax.lax.scan(body, state, (idx, fidx, ex), unroll=unroll)
 
     mapped = jax.shard_map(
         shard_many, mesh=mesh,

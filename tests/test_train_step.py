@@ -175,3 +175,61 @@ def test_resident_step_matches_host_batch_step(synthetic_step1_dir):
                     jax.tree.leaves(s_res.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_multi_step_matches_per_step(synthetic_step1_dir):
+    """make_resident_multi_step (one (K,B) block = K steps in ONE XLA
+    program) is numerically identical to K sequential calls of
+    make_resident_train_step: same per-step losses, same parameters.
+    On the CPU mesh the scan auto-unrolls (XLA:CPU deadlocks on
+    collectives inside a while body); unroll does not change numerics."""
+    from calipsync_tpu.data.dataset import ResidentLipSyncDataset
+    from calipsync_tpu.train.trainer import (make_resident_multi_step,
+                                             make_resident_train_step)
+
+    mesh = make_mesh(data=4)
+    train_cfg = TrainConfig(batch_size=4, perceptual_weight=0.1)
+    model = build_model(ModelConfig(), axis_name="data")
+    tx = adam(train_cfg)
+    vgg_vars = replicate(jax.jit(VGG19Features().init)(
+        jax.random.key(1), jnp.zeros((1, 160, 160, 3))), mesh)
+
+    ds = ResidentLipSyncDataset(str(synthetic_step1_dir), mesh=mesh)
+    feats = replicate(jnp.asarray(ds.audio_feats), mesh)
+    batches = list(ds.epoch_indices(4, np.random.default_rng(5),
+                                    shuffle=True, drop_last=True))[:2]
+    arr = np.asarray(batches)  # (2, 3, 4)
+
+    def init_state():
+        return replicate(create_train_state(model, tx, jax.random.key(0)),
+                         mesh)
+
+    per_fn = make_resident_train_step(model, tx, mesh, train_cfg)
+    s1 = init_state()
+    per_losses = []
+    for idx, fidx, ex in batches:
+        s1, m = per_fn(s1, ds.store_dev, jnp.asarray(idx),
+                       jnp.asarray(fidx), jnp.asarray(ex), feats,
+                       vgg_vars)
+        per_losses.append(float(m["loss"]))
+
+    multi_fn = make_resident_multi_step(model, tx, mesh, train_cfg)
+    s2 = init_state()
+    s2, m2 = multi_fn(s2, ds.store_dev, jnp.asarray(arr[:, 0]),
+                      jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
+                      feats, vgg_vars)
+
+    np.testing.assert_allclose(np.asarray(m2["loss"]), per_losses,
+                               rtol=1e-6)
+    assert int(s2.step) == 2
+    # Element-wise param equality is ill-conditioned through Adam: for a
+    # near-zero gradient element the step-1 update is lr*sign(g), so fp
+    # reassociation between the two compiled programs can flip signs and
+    # swing single elements by up to 2*lr. The loss sequence above is
+    # the sound parity check (step 2's loss is computed FROM step 1's
+    # carried params, so it proves the scan carry); params are bounded
+    # by the sign-flip envelope per step.
+    lr = train_cfg.lr
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2 * lr * len(per_losses))
