@@ -21,7 +21,7 @@ that trunk plus a vocab head. So C18 gets a real, TPU-native ASR:
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,13 +47,15 @@ def import_wav2vec2_ctc(sd, config: HubertConfig):
 def greedy_ctc_spans(ids: np.ndarray, id_to_token: Dict[int, str],
                      frame_dt: float, blank_id: int = 0,
                      word_delimiter: str = "|",
-                     max_word_gap_s: float = 0.5) -> List[Span]:
+                     max_word_gap_s: Optional[float] = 0.5) -> List[Span]:
     """Per-frame argmax ids -> word spans.
 
     Standard CTC collapse (drop repeats, drop blanks), char timestamps
     from frame indices; words split on the delimiter token; consecutive
     words closer than ``max_word_gap_s`` merge into one span (sentence-
-    like units for the slicer's grouping)."""
+    like units for the slicer's grouping). ``max_word_gap_s=None``
+    returns the raw word spans unmerged (for punctuation-aware sentence
+    segmentation downstream, ``slicer.sentences_from_spans``)."""
     events = []  # (frame, token)
     prev = blank_id
     for t, i in enumerate(ids):
@@ -77,6 +79,8 @@ def greedy_ctc_spans(ids: np.ndarray, id_to_token: Dict[int, str],
         end_f = f
         chars.append(tok)
 
+    if max_word_gap_s is None:
+        return words
     spans: List[Span] = []
     for s, e, w in words:
         if spans and s - spans[-1][1] <= max_word_gap_s:
@@ -129,10 +133,18 @@ class CTCRecognizer:
         return np.asarray(out)[0, :n_valid]
 
     def recognize(self, audio: np.ndarray) -> List[Span]:
+        """Punctuation-aware sentence spans (funasr ``sentence_info``
+        analogue): raw CTC word spans re-segmented at punctuation / long
+        gaps. For punctuation-free vocabs (e.g. wav2vec2-base-960h) this
+        reduces to the previous 0.5 s word-gap merge."""
+        from calipsync_tpu.audio.slicer import sentences_from_spans
+
         logits = self.logits(audio)
         ids = logits.argmax(axis=-1)
-        return greedy_ctc_spans(ids, self.id_to_token, self.frame_dt,
-                                self.blank_id, self.word_delimiter)
+        words = greedy_ctc_spans(ids, self.id_to_token, self.frame_dt,
+                                 self.blank_id, self.word_delimiter,
+                                 max_word_gap_s=None)
+        return sentences_from_spans(words)
 
     def as_asr_fn(self):
         """Adapter for audio.slicer.process_and_split_audio(asr_fn=...)."""

@@ -54,27 +54,67 @@ def energy_vad(audio: np.ndarray, sample_rate: int,
     return spans
 
 
+def sentences_from_spans(words: List[Span],
+                         sentence_punct: str = "。！？!?.;；",
+                         max_gap_s: float = 0.5) -> List[Span]:
+    """Merge word/clause spans into sentence spans.
+
+    The reference gets sentence units from funasr's punctuation model +
+    VAD (slice_origin_audio.py:24-46, ``sentence_info``). This rebuilds
+    the same segmentation from timestamped ASR output: a sentence closes
+    when its last token ends with sentence punctuation, or when the gap
+    to the next token exceeds ``max_gap_s`` (the VAD role). Timestamps
+    are preserved end-to-end, so the downstream grouping sees the same
+    start/end structure funasr would report."""
+    sentences: List[Span] = []
+    cur: List[Span] = []
+
+    def close():
+        if cur:
+            sentences.append((cur[0][0], cur[-1][1],
+                              " ".join(t for _, _, t in cur).strip()))
+            cur.clear()
+
+    for i, (s, e, text) in enumerate(words):
+        if cur and s - cur[-1][1] > max_gap_s:
+            close()
+        cur.append((s, e, text))
+        stripped = text.rstrip()
+        if stripped and stripped[-1] in sentence_punct:
+            close()
+    close()
+    return sentences
+
+
 def group_spans(spans: List[Span], min_seconds: float, max_seconds: float,
                 rng: np.random.Generator) -> List[Span]:
-    """Greedily merge sentence spans into random-length 5-12 s segments
-    (the reference's grouping policy, slice_origin_audio.py:60-104)."""
+    """Merge sentence spans into random-target-length segments, exactly
+    as the reference groups funasr sentences
+    (slice_origin_audio.py:55-106): per segment draw an integer target in
+    [min, max] seconds (ms granularity, inclusive — ``random.randint``),
+    accumulate whole sentences while the duration measured from the
+    segment start stays below the target (a sentence whose end would
+    reach it starts the NEXT segment; at least one sentence per segment),
+    and always emit the final partial segment. Inter-sentence gaps stay
+    inside a segment; gaps between segments are dropped."""
     segments: List[Span] = []
-    cur_start: Optional[float] = None
-    cur_end = 0.0
-    cur_text: List[str] = []
-    target = float(rng.uniform(min_seconds, max_seconds))
-    for s, e, text in spans:
-        if cur_start is None:
-            cur_start = s
-        cur_end = e
-        cur_text.append(text)
-        if cur_end - cur_start >= target:
-            segments.append((cur_start, cur_end, " ".join(cur_text).strip()))
-            cur_start = None
-            cur_text = []
-            target = float(rng.uniform(min_seconds, max_seconds))
-    if cur_start is not None and cur_end - cur_start >= min_seconds:
-        segments.append((cur_start, cur_end, " ".join(cur_text).strip()))
+    i = 0
+    while i < len(spans):
+        target = int(rng.integers(int(min_seconds * 1000),
+                                  int(max_seconds * 1000),
+                                  endpoint=True)) / 1000.0
+        start_i = i
+        seg_start = spans[i][0]
+        seg_end = seg_start
+        text: List[str] = []
+        while i < len(spans):
+            s, e, t = spans[i]
+            if e - seg_start >= target and i > start_i:
+                break
+            text.append(t)
+            seg_end = e
+            i += 1
+        segments.append((seg_start, seg_end, " ".join(text).strip()))
     return segments
 
 
@@ -84,14 +124,23 @@ def process_and_split_audio(audio_path: str, output_dir: str,
                             asr_fn: Optional[Callable[[np.ndarray, int],
                                                       List[Span]]] = None,
                             sample_rate: int = 16_000,
-                            seed: int = 0) -> List[Span]:
-    """Slice an audio file into speech segments; writes wav+txt pairs."""
+                            seed: int = 0,
+                            sentence_punct: str = "。！？!?.;；",
+                            sentence_gap_s: float = 0.5) -> List[Span]:
+    """Slice an audio file into speech segments; writes wav+txt pairs.
+
+    ASR spans are first re-segmented into sentences at punctuation /
+    long gaps (``sentences_from_spans``) so the grouping consumes the
+    same sentence units the reference's funasr ``sentence_info`` gives
+    it; pass ``sentence_punct=''`` with ``sentence_gap_s=inf`` to take
+    the asr_fn spans as-is."""
     from calipsync_tpu.audio.io import load_audio, save_wav
 
     os.makedirs(output_dir, exist_ok=True)
     audio = load_audio(audio_path, sample_rate)
     if asr_fn is not None:
-        spans = asr_fn(audio, sample_rate)
+        spans = sentences_from_spans(asr_fn(audio, sample_rate),
+                                     sentence_punct, sentence_gap_s)
     else:
         spans = [(s, e, "") for s, e in energy_vad(audio, sample_rate)]
     segments = group_spans(spans, min_seconds, max_seconds,

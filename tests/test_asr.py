@@ -116,3 +116,83 @@ def test_asr_fn_drives_the_slicer(tiny_ctc_pair, tmp_path, monkeypatch):
     assert "hello world" in text and "again" in text
     assert os.path.exists(os.path.join(out, "0.wav"))
     assert open(os.path.join(out, "0.txt")).read() == text
+
+
+def test_sentences_from_spans_punctuation_and_gaps():
+    """Sentence segmentation mirrors funasr's sentence_info semantics
+    (reference slice_origin_audio.py:35-46): close at sentence-ending
+    punctuation, close at long gaps (the VAD role), merge otherwise."""
+    from calipsync_tpu.audio.slicer import sentences_from_spans
+
+    words = [(0.0, 0.3, "ni"), (0.35, 0.6, "hao。"),      # punct close
+             (0.7, 1.0, "zai"), (1.05, 1.3, "jian"),       # gap close ->
+             (2.5, 2.8, "ok!"),                            # punct close
+             (2.9, 3.1, "tail")]                           # trailing
+    sents = sentences_from_spans(words, max_gap_s=0.5)
+    assert [t for _, _, t in sents] == ["ni hao。", "zai jian", "ok!",
+                                        "tail"]
+    assert sents[0][:2] == (0.0, 0.6)
+    assert sents[1][:2] == (0.7, 1.3)
+    assert sents[2][:2] == (2.5, 2.8)
+
+    # punctuation-free input with generous gaps reduces to one sentence
+    plain = [(0.0, 0.3, "a"), (0.4, 0.7, "b"), (0.8, 1.1, "c")]
+    assert sentences_from_spans(plain) == [(0.0, 1.1, "a b c")]
+
+
+def test_group_spans_matches_reference_grouping_oracle():
+    """Row-for-row parity with the reference's accumulation loop
+    (slice_origin_audio.py:55-106) on random sentence sets: same target
+    draws -> same segment boundaries and texts."""
+    from calipsync_tpu.audio.slicer import group_spans
+
+    def reference_grouping(sentences, min_s, max_s, targets_ms):
+        # verbatim port of the reference's while loop (ms domain),
+        # with random.randint replaced by the recorded draw sequence
+        segments = []
+        i, seg = 0, 0
+        while i < len(sentences):
+            target_length_ms = targets_ms[seg]
+            accumulated_text = ""
+            start_sentence_index = i
+            segment_start_ms = sentences[i]["start"]
+            segment_end_ms = segment_start_ms
+            while i < len(sentences):
+                sentence = sentences[i]
+                current_end_ms = sentence["end"]
+                current_duration_ms = current_end_ms - segment_start_ms
+                if (current_duration_ms >= target_length_ms
+                        and i > start_sentence_index):
+                    break
+                accumulated_text += ("" if not accumulated_text else " ") \
+                    + sentence["text"]
+                segment_end_ms = current_end_ms
+                i += 1
+            segments.append((segment_start_ms / 1000.0,
+                             segment_end_ms / 1000.0, accumulated_text))
+            seg += 1
+        return segments
+
+    rng = np.random.default_rng(7)
+    t = 0.0
+    spans = []
+    for k in range(40):
+        t += float(rng.uniform(0.05, 2.0))          # inter-sentence gap
+        dur = float(rng.uniform(0.5, 6.0))
+        spans.append((round(t, 3), round(t + dur, 3), f"s{k}"))
+        t += dur
+
+    min_s, max_s = 5.0, 12.0
+    # replay the exact target draws group_spans will make
+    draw = np.random.default_rng(123)
+    targets_ms = [int(draw.integers(5000, 12000, endpoint=True))
+                  for _ in range(len(spans))]
+    ours = group_spans(spans, min_s, max_s, np.random.default_rng(123))
+    ref = reference_grouping(
+        [{"start": s * 1000.0, "end": e * 1000.0, "text": txt}
+         for s, e, txt in spans], min_s, max_s, targets_ms)
+    assert len(ours) == len(ref)
+    for (s1, e1, t1), (s2, e2, t2) in zip(ours, ref):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+        assert e1 == pytest.approx(e2, abs=1e-9)
+        assert t1 == t2

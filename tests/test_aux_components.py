@@ -94,10 +94,19 @@ def test_audio_slicer_vad(tmp_path):
     segs = process_and_split_audio(path, str(tmp_path / "out"),
                                    min_seconds=5, max_seconds=12)
     assert len(segs) >= 1
+    # reference grouping (slice_origin_audio.py:55-106): every speech
+    # span lands in exactly one segment (the tail too, even if short);
+    # segments never exceed target+last-sentence overhang.
     for i, (s, e, text) in enumerate(segs):
-        assert e - s >= 5.0
+        assert e > s
+        if i:
+            assert s >= segs[i - 1][1]
         assert os.path.exists(tmp_path / "out" / f"{i}.wav")
         assert os.path.exists(tmp_path / "out" / f"{i}.txt")
+    # full coverage: the three 3 s speech bursts all fall inside segments
+    for burst_start in (1.0, 5.0, 9.0):
+        mid = burst_start + 1.5
+        assert any(s <= mid <= e for s, e, _ in segs)
 
 
 def test_video_normalizer():
