@@ -124,23 +124,19 @@ def process_and_split_audio(audio_path: str, output_dir: str,
                             asr_fn: Optional[Callable[[np.ndarray, int],
                                                       List[Span]]] = None,
                             sample_rate: int = 16_000,
-                            seed: int = 0,
-                            sentence_punct: str = "。！？!?.;；",
-                            sentence_gap_s: float = 0.5) -> List[Span]:
+                            seed: int = 0) -> List[Span]:
     """Slice an audio file into speech segments; writes wav+txt pairs.
 
-    ASR spans are first re-segmented into sentences at punctuation /
-    long gaps (``sentences_from_spans``) so the grouping consumes the
-    same sentence units the reference's funasr ``sentence_info`` gives
-    it; pass ``sentence_punct=''`` with ``sentence_gap_s=inf`` to take
-    the asr_fn spans as-is."""
+    ``asr_fn`` spans are consumed as-is and should already be sentence
+    units (funasr's ``sentence_info`` analogue) — CTCRecognizer's
+    ``as_asr_fn`` produces them via ``sentences_from_spans``; wrap a
+    word-level source with that helper before plugging it in."""
     from calipsync_tpu.audio.io import load_audio, save_wav
 
     os.makedirs(output_dir, exist_ok=True)
     audio = load_audio(audio_path, sample_rate)
     if asr_fn is not None:
-        spans = sentences_from_spans(asr_fn(audio, sample_rate),
-                                     sentence_punct, sentence_gap_s)
+        spans = asr_fn(audio, sample_rate)
     else:
         spans = [(s, e, "") for s, e in energy_vad(audio, sample_rate)]
     segments = group_spans(spans, min_seconds, max_seconds,

@@ -44,7 +44,10 @@ def build_lip_detector(weights_dir: str, dtype=None,
                                            import_yolov8_face)
 
         yolo_vars = import_yolov8_face(load_torch_state_dict(yolo_path))
-        detector = YoloV8FaceDetector(yolo_vars)
+        # batch the forward: each dispatch is a 20-40 ms tunnel round
+        # trip, so per-frame (batch_size=1) detection would be RTT-bound
+        # exactly like pre-batching S3FD was (PERF.md preprocess row)
+        detector = YoloV8FaceDetector(yolo_vars, batch_size=16)
     else:
         s3fd_vars = import_s3fd(load_torch_state_dict(
             os.path.join(weights_dir, "sfd_face.pth")))

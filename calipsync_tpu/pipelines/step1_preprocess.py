@@ -114,6 +114,8 @@ class TrainPreprocessor:
         track. Without ffmpeg on the host, cv2 cannot demux audio from the
         container, so a side-car (or a .wav next to the video) is required;
         with ffmpeg present it is extracted automatically."""
+        # detect_stride carry is only valid within one frame stream
+        self.lip_detector.reset_stride()
         os.makedirs(output_dir, exist_ok=True)
         for d in ("landmarks", "faces", "full_body_img"):
             os.makedirs(os.path.join(output_dir, d), exist_ok=True)

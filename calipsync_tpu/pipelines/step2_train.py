@@ -142,20 +142,21 @@ def train_digital_model(dataset_dir: str, save_dir: str,
                     all_batches = [all_batches[i % n0] for i in range(k)]
                     stop = k
                 for bi in range(0, stop, k):
-                    block = all_batches[bi:bi + k]
-                    n_real = len(block)
-                    arr = np.asarray(block)  # (K, 3, B)
+                    # blocks are exactly k long by construction (tail
+                    # dropped / wrap-padded above): the compiled (K, B)
+                    # shape admits no partial blocks
+                    arr = np.asarray(all_batches[bi:bi + k])  # (K, 3, B)
                     state, metrics = step_fn(
                         state, ds.store_dev, jnp.asarray(arr[:, 0]),
                         jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
                         feats_dev, vgg_variables)
-                    losses.append(metrics["loss"][:n_real])
-                    n_batches += n_real
+                    losses.append(metrics["loss"])
+                    n_batches += k
                     if log_every and (bi // k) % max(
                             1, log_every // k) == 0:
                         print(f"epoch {epoch + 1}/{cfg.train.epochs} "
                               f"batch {n_batches} "
-                              f"loss {float(metrics['loss'][n_real - 1]):.6f}")
+                              f"loss {float(metrics['loss'][-1]):.6f}")
             else:
                 for batch in batches:
                     if resident:

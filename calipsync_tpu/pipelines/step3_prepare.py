@@ -75,6 +75,8 @@ class InferPreprocessor:
                       (np.clip(mask, 0, 1) * 255).astype(np.uint8))
 
     def process_video(self, video_path: str, output_dir: str) -> dict:
+        # detect_stride carry is only valid within one frame stream
+        self.lip_detector.reset_stride()
         os.makedirs(output_dir, exist_ok=True)
         srt_dir = os.path.join(output_dir, "srt")
         os.makedirs(srt_dir, exist_ok=True)

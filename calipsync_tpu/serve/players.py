@@ -60,6 +60,7 @@ class BasePlayer:
         self._lock = threading.Lock()
         self._last_item: Optional[dict] = None
         self._thread: Optional[threading.Thread] = None
+        self._stopped = True  # no pacing thread yet
         self._on_frame = on_frame
         self._time = time_fn
         self._sleep = sleep_fn
@@ -87,9 +88,14 @@ class BasePlayer:
 
     def stop_playing(self) -> None:
         self.running = False
-        if self._thread is not None:
-            self._thread.join(timeout=2.0)
+        thread = self._thread
+        if thread is not None:
+            thread.join(timeout=2.0)
             self._thread = None
+        # True when the pacing thread is fully stopped; False if the
+        # join timed out (thread stuck in a blocking render) — resource
+        # owners must NOT close fds/handles the thread may still use.
+        self._stopped = thread is None or not thread.is_alive()
 
     # -- pacing loop --
 
@@ -307,6 +313,8 @@ class RTMPPlayer(BasePlayer):
 
     def stop_playing(self) -> None:
         super().stop_playing()
+        if not self._stopped:  # writer may still be in _render
+            return
         for fh in (self._audio_fh,
                    self._proc.stdin if self._proc else None):
             try:
@@ -392,6 +400,10 @@ class VirtualCamPlayer(BasePlayer):
 
     def stop_playing(self) -> None:
         super().stop_playing()
-        if self._fd is not None:
+        if self._fd is not None and self._stopped:
+            # only close once the pacing thread is provably out of
+            # _render: closing under a live os.write risks writing to a
+            # reused fd; leaking the fd on a stuck writer is the lesser
+            # evil (the device node is reopened by the next start)
             os.close(self._fd)
             self._fd = None

@@ -83,9 +83,17 @@ class LipDetector:
 
         self._fwd = fwd
 
+    def reset_stride(self) -> None:
+        """Drop carried detect_stride state (call between videos: the
+        carry is only valid within one sequential frame stream)."""
+        self._stride_carry = None
+        self._stride_phase = 0
+
     def _detections(self, images: Sequence[np.ndarray]):
         """Detector results per image, honoring ``detect_stride``."""
         stride = self.detect_stride
+        if not len(images):
+            return []
         if stride <= 1:
             return self.detector.detect(images)
         need = [i for i in range(len(images))

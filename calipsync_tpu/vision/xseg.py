@@ -82,7 +82,17 @@ class XSegMaskGenerator:
         if mask.ndim == 4 and mask.shape[1] == 1 and \
                 mask.shape[2] == mask.shape[3]:  # NCHW runtime output
             mask = mask.transpose(0, 2, 3, 1)
+        if mask.ndim == 3 and mask.shape[0] == 1 and \
+                mask.shape[1] == mask.shape[2]:  # squeezed (1, H, W)
+            mask = mask[0][..., None]
+        elif mask.ndim == 2:  # bare (H, W)
+            mask = mask[..., None]
         mask = mask.reshape(mask.shape[-3], mask.shape[-2], -1)[..., :1]
+        if mask.shape[0] != mask.shape[1]:
+            raise ValueError(
+                f"xseg session returned an unrecognized mask layout "
+                f"{mask.shape}; expected (H, W[, 1]), (1, H, W) or "
+                f"NHWC/NCHW with a unit channel")
         mask = mask.clip(0.0, 1.0)
         expanded_mask = cv2.resize(
             mask, (expanded.shape[1], expanded.shape[0]))

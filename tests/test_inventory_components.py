@@ -153,6 +153,16 @@ def test_detect_stride_propagates_boxes():
     for a, b in zip(res1, res3):
         np.testing.assert_array_equal(a[0], b[0])
 
+    # a new video must NOT inherit the previous stream's carry/phase
+    # (pipelines call reset_stride() per video): frame 0 of the next
+    # stream gets a fresh detection
+    lip3.reset_stride()
+    assert lip3.detect_landmarks([frame]) is not None
+    assert d3.calls == 4  # fresh detection at the new stream's frame 0
+
+    # empty batches are a no-op at any stride
+    assert lip3.detect_landmarks([]) == []
+
 
 def test_legacy_landmark_on_real_scrfd_decode():
     """LegacyLandmark driven by the production SCRFD keypoint decode (not
@@ -281,3 +291,38 @@ def test_xseg_mask_generator_fallback_paths():
 
     with pytest.raises(ValueError):
         XSegMaskGenerator()
+
+
+def test_xseg_accepts_every_session_output_layout():
+    """The pluggable-session contract is just 'mask for a 1x256x256x3
+    input': NHWC, NCHW, squeezed (1,H,W) and bare (H,W) must all decode
+    to the same (168,168) mask; ambiguous layouts must raise, not write
+    garbage compositing masks."""
+    from calipsync_tpu.vision.xseg import XSegMaskGenerator
+
+    g = np.linspace(0, 1, 256, dtype=np.float32)
+    full = np.broadcast_to(g, (256, 256)).copy()
+    layouts = {
+        "nhwc": full[None, ..., None],
+        "nchw": full[None, None],
+        "squeezed_1hw": full[None],
+        "bare_hw": full,
+    }
+    frame = np.full((400, 300, 3), 128, np.uint8)
+    lms = np.zeros((110, 2), np.int64)
+    lms[1] = (100, 200)
+    lms[31] = (180, 200)
+    lms[52] = (150, 180)
+
+    masks = {}
+    for name, out in layouts.items():
+        gen = XSegMaskGenerator(session=lambda inp, out=out: out)
+        masks[name] = gen(frame, lms)
+    for name in ("nchw", "squeezed_1hw", "bare_hw"):
+        np.testing.assert_allclose(masks[name], masks["nhwc"], atol=1e-6,
+                                   err_msg=name)
+
+    bad = XSegMaskGenerator(session=lambda inp: np.zeros((1, 256, 3),
+                                                         np.float32))
+    with pytest.raises(ValueError):
+        bad(frame, lms)
