@@ -141,7 +141,34 @@ def _compute_only_fps(synth, feats) -> float:
     return total / (time.time() - t0)
 
 
+def _device_watchdog(timeout_s: float = 420.0):
+    """Fail loudly (one JSON error line) if TPU backend init hangs.
+
+    The axon TPU sits behind a remote tunnel; when the tunnel is down,
+    jax.devices() blocks forever rather than raising — which would leave
+    the driver's bench run with NO output at all. The watchdog arms
+    before first device contact and disarms right after; a timeout
+    prints a diagnosable line and exits non-zero. 420 s is ~10x the
+    worst observed healthy init+first-compile time."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "lipsync_fps_per_chip", "value": 0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                         "(axon tunnel unreachable?)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main() -> None:
+    watchdog = _device_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -164,6 +191,8 @@ def main() -> None:
     variables = jax.jit(model.init)(jax.random.key(0),
                                     jnp.zeros((1, 160, 160, 6)),
                                     jnp.zeros((1, 32, 32, 32)))
+    jax.block_until_ready(variables)
+    watchdog.set()  # device reachable; timing passes own their timeouts
 
     rng = np.random.default_rng(0)
     feats = rng.standard_normal((n_features, 2, 1024)).astype(np.float32)
