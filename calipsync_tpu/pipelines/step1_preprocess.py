@@ -115,7 +115,8 @@ class TrainPreprocessor:
         container, so a side-car (or a .wav next to the video) is required;
         with ffmpeg present it is extracted automatically."""
         # detect_stride carry is only valid within one frame stream
-        self.lip_detector.reset_stride()
+        # (plug-in detectors without stride state need no reset)
+        getattr(self.lip_detector, "reset_stride", lambda: None)()
         os.makedirs(output_dir, exist_ok=True)
         for d in ("landmarks", "faces", "full_body_img"):
             os.makedirs(os.path.join(output_dir, d), exist_ok=True)

@@ -76,7 +76,8 @@ class InferPreprocessor:
 
     def process_video(self, video_path: str, output_dir: str) -> dict:
         # detect_stride carry is only valid within one frame stream
-        self.lip_detector.reset_stride()
+        # (plug-in detectors without stride state need no reset)
+        getattr(self.lip_detector, "reset_stride", lambda: None)()
         os.makedirs(output_dir, exist_ok=True)
         srt_dir = os.path.join(output_dir, "srt")
         os.makedirs(srt_dir, exist_ok=True)
