@@ -175,5 +175,19 @@ class LipDetector:
             pre = (lm + self.mean_face).reshape(-1, 2).copy()
             pre[:, 0] = pre[:, 0] * w + ox
             pre[:, 1] = pre[:, 1] * h + oy
+            if not np.isfinite(pre).all():
+                # a non-finite PFLD output would cast to INT_MIN coords
+                # and silently corrupt every downstream crop; dropping
+                # the face routes into the existing no-detection
+                # fallbacks (landmark gap fill / last-good-detection)
+                continue
+            # clamp to a float32-exact int32 subrange: casting a finite
+            # float beyond int32 is undefined (and int32 max itself
+            # rounds UP in float32); values this large only occur with
+            # degenerate weights
+            pre = np.clip(pre, -2**30, 2**30)
             results[img_i].append(pre.astype(np.int32))
+        for i, r in enumerate(results):
+            if r == []:  # every face dropped -> same contract as none
+                results[i] = None
         return results

@@ -164,6 +164,31 @@ def test_detect_stride_propagates_boxes():
     assert lip3.detect_landmarks([]) == []
 
 
+def test_non_finite_landmarks_drop_to_the_no_detection_contract(
+        monkeypatch):
+    """A non-finite PFLD output must NOT cast to INT_MIN coordinates
+    (silent crop corruption); it drops the face so the existing
+    no-detection fallbacks (gap fill / last-good) take over."""
+    from calipsync_tpu.nn.pfld import PFLDGhostOne, fold_mobileone_params
+    from calipsync_tpu.vision.lip_detector import LipDetector
+
+    class OneFace:
+        def detect(self, images):
+            return [(np.array([[50, 50, 80, 80]], np.float32), [0])
+                    for _ in images]
+
+    pfld = PFLDGhostOne()
+    variables = jax.jit(pfld.init)(jax.random.key(0),
+                                   jnp.zeros((1, 192, 192, 3)))
+    folded = fold_mobileone_params(variables)
+    lip = LipDetector(folded, np.zeros(220, np.float32), OneFace())
+    monkeypatch.setattr(
+        lip, "_pfld_batch",
+        lambda crops: np.full((len(crops), 220), np.nan, np.float32))
+    frame = np.zeros((240, 240, 3), np.uint8)
+    assert lip.detect_landmarks([frame]) == [None]
+
+
 def test_legacy_landmark_on_real_scrfd_decode():
     """LegacyLandmark driven by the production SCRFD keypoint decode (not
     a stub): the eye keypoints above give a 45-degree roll; the rotate-
