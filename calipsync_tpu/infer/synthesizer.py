@@ -297,6 +297,10 @@ class FrameSynthesizer:
             self._generate_resident = make_generate_resident_sharded_fn(
                 self.model, crop, mesh, axis_name, transfer_format)
         else:
+            # pin params on device ONCE: torch-imported variables are
+            # host numpy trees, and passing those to a jitted call
+            # re-uploads all ~79 MB of them over the tunnel per dispatch
+            self.variables = jax.device_put(variables)
             self._generate_resident = make_generate_resident_fn(
                 self.model, crop, transfer_format)
         self.executor = ThreadPoolExecutor(max_workers=max(4, batch_size))
@@ -311,6 +315,17 @@ class FrameSynthesizer:
         if preload and self.total_frames > 0:
             store_bytes = self.total_frames * crop.size * crop.size * 3
             if store_bytes > preload_max_bytes:
+                if mesh is not None:
+                    # silent degrade would void the 'mesh requires
+                    # preload' invariant above: the streaming fallback
+                    # is unsharded, so multi-chip serving would quietly
+                    # run at single-chip-or-worse throughput
+                    raise ValueError(
+                        f"crop store {store_bytes >> 20} MiB exceeds "
+                        f"preload_max_bytes ({preload_max_bytes >> 20} "
+                        f"MiB) and mesh sharding requires the resident "
+                        f"store; raise preload_max_bytes or serve "
+                        f"without a mesh")
                 # safety valve for extreme clips (an hour of frames is
                 # ~7 GB of HBM + minutes of decode): degrade to the
                 # streaming upload path instead of exhausting the device
@@ -364,7 +379,13 @@ class FrameSynthesizer:
         face_mask = cv2.dilate(face_mask, kernel, iterations=1)
         fm = (face_mask.astype(np.float32) / 255.0)[..., None]
         if xseg is not None:
-            rm = cv2.resize(xseg, (p.width, p.width))
+            # resize to the face-mask's own shape: equals the
+            # reference's (width, width) whenever the bbox is unclamped
+            # (the only case that composites — clamped bboxes take the
+            # shape-mismatch fallback, reference :317-324); resizing to
+            # (width, width) unconditionally would crash this
+            # precompute on clamped frames before the fallback runs
+            rm = cv2.resize(xseg, (p.xmax - p.xmin, p.ymax - p.ymin))
             fm = fm * rm[..., None]
 
         return {"img": img, "lms": lms, "params": p, "crop168": crop168,

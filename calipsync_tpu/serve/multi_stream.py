@@ -83,6 +83,12 @@ class MultiStreamSynthesizer:
         combined = np.concatenate(stores, axis=0)
 
         if mesh is not None:
+            if batch_size % mesh.shape[axis_name]:
+                # same constructor-time check as FrameSynthesizer: a
+                # non-divisible batch fails deep inside shard_map with a
+                # cryptic partition error on the first tick, after the
+                # expensive combined-store build above
+                raise ValueError("batch_size must divide over the mesh")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())
@@ -92,7 +98,9 @@ class MultiStreamSynthesizer:
                 self.model, crop, mesh, axis_name, transfer_format)
         else:
             self._put = jax.device_put
-            self.variables = variables
+            # pin params on device once (torch-imported trees are host
+            # numpy; see FrameSynthesizer)
+            self.variables = jax.device_put(variables)
             self._generate = make_generate_resident_fn(self.model, crop,
                                                        transfer_format)
         self._crops_dev = self._put(combined)
@@ -137,11 +145,14 @@ class MultiStreamSynthesizer:
             block = np.zeros((k + 2 * _PAD, 2, 1024), np.float32)
             block[_PAD:_PAD + k] = features
             feat_blocks.append(block)
+            phys_seq = [seq[i] % spk.total_frames for i in range(k)]
+            # threaded entry fetch: serial per-frame JPEG decode on an
+            # LRU miss would stall every stream's tick
+            entries = spk._entries_for(phys_seq)
             for i in range(k):
-                phys = seq[i] % spk.total_frames
-                jobs.append((st, spk, self._offsets[st.speaker] + phys,
-                             feat_base + _PAD + i,
-                             spk._frame_entry(phys)))
+                jobs.append((st, spk,
+                             self._offsets[st.speaker] + phys_seq[i],
+                             feat_base + _PAD + i, entries[i]))
             feat_base += k + 2 * _PAD
 
         if not jobs:

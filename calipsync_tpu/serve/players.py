@@ -183,6 +183,16 @@ class FilePlayer(BasePlayer):
             self._render(item)
             if self._on_frame is not None:
                 self._on_frame(item)
+        # stop_playing leaves up to buffer_threshold frames queued;
+        # dropping them would cut the muxed file's tail short
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self._render(item)
+            if self._on_frame is not None:
+                self._on_frame(item)
 
     def _render(self, item: dict) -> None:
         self.frames.append(item["frame"])
@@ -270,6 +280,7 @@ class RTMPPlayer(BasePlayer):
         self._proc: Optional[subprocess.Popen] = None
         self._audio_fifo: Optional[str] = None
         self._audio_fh = None
+        self._audio_pending: list[bytes] = []
 
     def start_playing(self) -> None:
         import shutil as _sh
@@ -291,8 +302,35 @@ class RTMPPlayer(BasePlayer):
             "-f", "flv", self.push_url,
         ]
         self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
-        self._audio_fh = open(self._audio_fifo, "wb")
+        # Start the pacing thread BEFORE waiting on the fifo: ffmpeg may
+        # probe input 0 (rawvideo on stdin) before it opens the fifo, so
+        # video bytes must be flowing or neither side progresses. Audio
+        # rendered before the fifo opens is buffered and flushed then.
+        self._audio_pending: list[bytes] = []
         super().start_playing()
+        # a blocking open would hang forever if ffmpeg dies before (or
+        # without) opening the fifo's read end; poll non-blocking with
+        # a liveness check instead
+        deadline = time.monotonic() + 15.0
+        fd = None
+        while fd is None:
+            try:
+                fd = os.open(self._audio_fifo,
+                             os.O_WRONLY | os.O_NONBLOCK)
+            except OSError:  # ENXIO: no reader yet
+                if self._proc.poll() is not None:
+                    self.running = False
+                    raise RuntimeError(
+                        f"ffmpeg exited (code {self._proc.returncode}) "
+                        "before opening the audio fifo")
+                if time.monotonic() > deadline:
+                    self.running = False
+                    self._proc.kill()
+                    raise RuntimeError(
+                        "ffmpeg never opened the audio fifo (15 s)")
+                time.sleep(0.05)
+        os.set_blocking(fd, True)
+        self._audio_fh = os.fdopen(fd, "wb")
 
     def _render(self, item: dict) -> None:
         import cv2
@@ -305,9 +343,14 @@ class RTMPPlayer(BasePlayer):
         try:
             self._proc.stdin.write(frame.tobytes())
             audio = item.get("audio")
-            if audio is not None and self._audio_fh is not None:
-                self._audio_fh.write(
-                    np.asarray(audio, np.float32).tobytes())
+            if audio is not None:
+                buf = np.asarray(audio, np.float32).tobytes()
+                if self._audio_fh is None:  # fifo not yet open
+                    self._audio_pending.append(buf)
+                else:
+                    while self._audio_pending:
+                        self._audio_fh.write(self._audio_pending.pop(0))
+                    self._audio_fh.write(buf)
         except BrokenPipeError:
             self.running = False
 
@@ -323,7 +366,14 @@ class RTMPPlayer(BasePlayer):
             except Exception:
                 pass
         if self._proc is not None:
-            self._proc.wait(timeout=5)
+            try:
+                self._proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                # e.g. ffmpeg stuck flushing to an unreachable RTMP
+                # server: reap it rather than leaking a zombie and
+                # skipping the fifo cleanup below
+                self._proc.kill()
+                self._proc.wait(timeout=5)
             self._proc = None
         if self._audio_fifo and os.path.exists(self._audio_fifo):
             os.remove(self._audio_fifo)

@@ -180,7 +180,11 @@ class StreamingVideoManager:
         sync = True
         if current_path is not None:
             for name, q in self.audio_queues.items():
-                for item in list(q.queue):
+                # snapshot under the queue's own mutex: user threads
+                # enqueue concurrently via add_audio_to_queue
+                with q.mutex:
+                    items = list(q.queue)
+                for item in items:
                     if item.audio_path == current_path:
                         selected = name
                         sync = item.is_sync_frame
@@ -292,4 +296,7 @@ class StreamingVideoManager:
             self._producer.join(timeout=5.0)
             self._producer = None
         for q in self.audio_queues.values():
-            q.queue.clear()
+            # under the mutex: if the join timed out (producer stuck in
+            # a long dispatch) a bare clear() races its q.get()
+            with q.mutex:
+                q.queue.clear()
