@@ -65,9 +65,10 @@ def main():
     n_frames = int(os.environ.get("TRAIN_FRAMES", "250"))
     res = int(os.environ.get("TRAIN_RES", "720"))
     use_vgg = os.environ.get("TRAIN_VGG", "1") == "1"
+    dtype = os.environ.get("TRAIN_DTYPE", "float32")
 
     mesh = make_mesh()
-    model_cfg = ModelConfig()
+    model_cfg = ModelConfig(dtype=dtype)
     train_cfg = TrainConfig(batch_size=batch)
     model = build_model(model_cfg, axis_name="data")
     tx = adam(train_cfg)
@@ -75,7 +76,7 @@ def main():
         jax.random.key(1), jnp.zeros((1, 160, 160, 3))), mesh)
 
     out = {"batch": batch, "steps": steps, "n_frames": n_frames,
-           "res": res, "vgg": use_vgg}
+           "res": res, "vgg": use_vgg, "dtype": dtype}
     with tempfile.TemporaryDirectory() as tmp:
         data_dir = make_step1_assets(tmp, n_frames, res)
 

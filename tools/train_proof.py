@@ -56,10 +56,11 @@ def main():
     n_frames = int(os.environ.get("TRAIN_FRAMES", "250"))
     res = int(os.environ.get("TRAIN_RES", "720"))
     n_eval = int(os.environ.get("TRAIN_EVAL", "64"))
+    dtype = os.environ.get("TRAIN_DTYPE", "float32")
 
     mesh = make_mesh()
     crop = CropConfig()
-    model_cfg = ModelConfig()
+    model_cfg = ModelConfig(dtype=dtype)
     train_cfg = TrainConfig(batch_size=batch)
     model = build_model(model_cfg, axis_name="data")
     tx = adam(train_cfg)
@@ -151,7 +152,7 @@ def main():
 
     out = {
         "steps": steps, "batch": batch, "n_frames": n_frames, "res": res,
-        "n_eval": n_eval,
+        "n_eval": n_eval, "dtype": dtype,
         "loss_first": round(loss_first, 4), "loss_last": round(loss_last, 4),
         "before": before, "after": after,
         "mouth_rect_gain_db": round(after["psnr_mouth_rect"]
