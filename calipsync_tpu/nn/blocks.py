@@ -88,6 +88,12 @@ class ConvBNAct(nn.Module):
         return x
 
 
+# Fused-kernel gate: spatial area below which the per-tile pallas_call
+# overhead loses to XLA's fused convs (measured in tools/bench_fused_ir.py
+# — the kernel pays where the hidden activation round-trips HBM).
+PALLAS_IR_MIN_HW = 40 * 40
+
+
 class InvertedResidual(nn.Module):
     """MobileNetV2-style inverted residual, reference variant.
 
@@ -95,6 +101,13 @@ class InvertedResidual(nn.Module):
     (stride 1 or 2, pad 1) -> project 1x1, with BN+LeakyReLU after *every*
     stage including the projection (the reference keeps the projection
     nonlinear, unlike stock MobileNet).
+
+    ``ir_impl='pallas'`` routes eval-mode stride-1 calls at large spatial
+    sizes through the fused Pallas block
+    (calipsync_tpu/kernels/fused_ir.py): BN folded into the convs, the
+    hidden activation VMEM-resident instead of ~6 HBM passes. Training,
+    init, stride-2 and small shapes keep the flax/XLA path (autodiff +
+    batch-stat updates live there).
     """
 
     features: int
@@ -103,11 +116,25 @@ class InvertedResidual(nn.Module):
     expand_ratio: int = 6
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         inp = x.shape[-1]
         hidden = inp * self.expand_ratio
+        if (self.ir_impl == "pallas" and not train and self.stride == 1
+                and not self.is_initializing()
+                and x.shape[1] * x.shape[2] >= PALLAS_IR_MIN_HW):
+            from calipsync_tpu.kernels.fused_ir import (
+                fold_ir_params, fused_inverted_residual)
+
+            names = ("expand", "depthwise", "project")
+            params = {n: self.get_variable("params", n) for n in names}
+            stats = {n: self.get_variable("batch_stats", n) for n in names}
+            folded = fold_ir_params(params, stats)
+            return fused_inverted_residual(
+                x.astype(self.dtype or x.dtype), *folded,
+                residual=self.use_res_connect)
         y = ConvBNAct(hidden, (1, 1), padding="VALID", dtype=self.dtype,
                       axis_name=self.axis_name, name="expand")(x, train)
         y = ConvBNAct(hidden, (3, 3), strides=(self.stride, self.stride),
@@ -129,16 +156,18 @@ class DoubleConvDW(nn.Module):
     stride: int = 2
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = InvertedResidual(self.features, stride=self.stride,
                              use_res_connect=False, expand_ratio=2,
                              dtype=self.dtype, axis_name=self.axis_name,
-                             name="ir1")(x, train)
+                             ir_impl=self.ir_impl, name="ir1")(x, train)
         x = InvertedResidual(self.features, stride=1, use_res_connect=True,
                              expand_ratio=2, dtype=self.dtype,
-                             axis_name=self.axis_name, name="ir2")(x, train)
+                             axis_name=self.axis_name,
+                             ir_impl=self.ir_impl, name="ir2")(x, train)
         return x
 
 
@@ -148,13 +177,14 @@ class InConvDw(nn.Module):
     features: int
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         return InvertedResidual(self.features, stride=1,
                                 use_res_connect=False, expand_ratio=2,
                                 dtype=self.dtype, axis_name=self.axis_name,
-                                name="ir")(x, train)
+                                ir_impl=self.ir_impl, name="ir")(x, train)
 
 
 class Down(nn.Module):
@@ -163,11 +193,13 @@ class Down(nn.Module):
     features: int
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         return DoubleConvDW(self.features, stride=2, dtype=self.dtype,
-                            axis_name=self.axis_name, name="conv")(x, train)
+                            axis_name=self.axis_name, ir_impl=self.ir_impl,
+                            name="conv")(x, train)
 
 
 @functools.lru_cache(maxsize=None)
@@ -216,6 +248,7 @@ class Up(nn.Module):
     features: int
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array,
@@ -228,7 +261,8 @@ class Up(nn.Module):
                               (dw // 2, dw - dw // 2), (0, 0)))
         x = jnp.concatenate([x1, x2], axis=-1)
         return DoubleConvDW(self.features, stride=1, dtype=self.dtype,
-                            axis_name=self.axis_name, name="conv")(x, train)
+                            axis_name=self.axis_name, ir_impl=self.ir_impl,
+                            name="conv")(x, train)
 
 
 class OutConv(nn.Module):

@@ -45,24 +45,26 @@ class AudioConvHubert(nn.Module):
 
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        ir_kw = dict(ir_impl=self.ir_impl, **kw)
         x = InvertedResidual(CH[1], stride=1, use_res_connect=False,
-                             expand_ratio=2, name="conv1", **kw)(x, train)
+                             expand_ratio=2, name="conv1", **ir_kw)(x, train)
         x = InvertedResidual(CH[2], stride=1, use_res_connect=False,
-                             expand_ratio=2, name="conv2", **kw)(x, train)
+                             expand_ratio=2, name="conv2", **ir_kw)(x, train)
         x = ConvBNAct(CH[3], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                       name="conv3", **kw)(x, train)
         x = InvertedResidual(CH[3], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv4", **kw)(x, train)
+                             expand_ratio=2, name="conv4", **ir_kw)(x, train)
         x = ConvBNAct(CH[4], (3, 3), strides=(2, 2), padding=((3, 3), (3, 3)),
                       name="conv5", **kw)(x, train)
         x = InvertedResidual(CH[4], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv6", **kw)(x, train)
+                             expand_ratio=2, name="conv6", **ir_kw)(x, train)
         x = InvertedResidual(CH[4], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv7", **kw)(x, train)
+                             expand_ratio=2, name="conv7", **ir_kw)(x, train)
         x = BatchNorm(use_running_average=not train,
                       axis_name=self.axis_name if train else None,
                       dtype=self.dtype, name="bn7")(x)
@@ -78,26 +80,28 @@ class AudioConvWenet(nn.Module):
 
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        ir_kw = dict(ir_impl=self.ir_impl, **kw)
         x = InvertedResidual(CH[3], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv1", **kw)(x, train)
+                             expand_ratio=2, name="conv1", **ir_kw)(x, train)
         x = InvertedResidual(CH[3], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv2", **kw)(x, train)
+                             expand_ratio=2, name="conv2", **ir_kw)(x, train)
         x = ConvBNAct(CH[3], (3, 3), strides=(1, 2), padding=((1, 1), (1, 1)),
                       act=False, name="conv3", **kw)(x, train)
         x = jax.nn.relu(x)
         x = InvertedResidual(CH[3], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv4", **kw)(x, train)
+                             expand_ratio=2, name="conv4", **ir_kw)(x, train)
         x = ConvBNAct(CH[4], (3, 3), strides=(2, 2), padding=((3, 3), (3, 3)),
                       act=False, name="conv5", **kw)(x, train)
         x = jax.nn.relu(x)
         x = InvertedResidual(CH[4], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv6", **kw)(x, train)
+                             expand_ratio=2, name="conv6", **ir_kw)(x, train)
         x = InvertedResidual(CH[4], stride=1, use_res_connect=True,
-                             expand_ratio=2, name="conv7", **kw)(x, train)
+                             expand_ratio=2, name="conv7", **ir_kw)(x, train)
         return x
 
 
@@ -222,24 +226,26 @@ class Generator(nn.Module):
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
     attn_impl: str = "xla"
+    ir_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, audio: jax.Array,
                  train: bool = False) -> jax.Array:
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        ir_kw = dict(ir_impl=self.ir_impl, **kw)
         x = x.astype(self.dtype or x.dtype)
         audio = audio.astype(self.dtype or audio.dtype)
 
-        x1 = InConvDw(CH[0], name="inc", **kw)(x, train)
-        x2 = Down(CH[1], name="down1", **kw)(x1, train)
-        x3 = Down(CH[2], name="down2", **kw)(x2, train)
-        x4 = Down(CH[3], name="down3", **kw)(x3, train)
-        x5 = Down(CH[4], name="down4", **kw)(x4, train)
+        x1 = InConvDw(CH[0], name="inc", **ir_kw)(x, train)
+        x2 = Down(CH[1], name="down1", **ir_kw)(x1, train)
+        x3 = Down(CH[2], name="down2", **ir_kw)(x2, train)
+        x4 = Down(CH[3], name="down3", **ir_kw)(x3, train)
+        x5 = Down(CH[4], name="down4", **ir_kw)(x4, train)
 
         if self.mode == "hubert":
-            af = AudioConvHubert(name="audio_model", **kw)(audio, train)
+            af = AudioConvHubert(name="audio_model", **ir_kw)(audio, train)
         elif self.mode == "wenet":
-            af = AudioConvWenet(name="audio_model", **kw)(audio, train)
+            af = AudioConvWenet(name="audio_model", **ir_kw)(audio, train)
         else:
             raise ValueError(f"unknown audio mode: {self.mode}")
 
@@ -263,13 +269,15 @@ class Generator(nn.Module):
                        dtype=self.dtype, name="bn_kx")(kx)
         kx = leaky_relu(kx)
 
-        x5 = DoubleConvDW(CH[4], stride=1, name="fuse_conv1", **kw)(kx, train)
-        x5 = DoubleConvDW(CH[3], stride=1, name="fuse_conv2", **kw)(x5, train)
+        x5 = DoubleConvDW(CH[4], stride=1, name="fuse_conv1",
+                          **ir_kw)(kx, train)
+        x5 = DoubleConvDW(CH[3], stride=1, name="fuse_conv2",
+                          **ir_kw)(x5, train)
 
-        x = Up(CH[3] // 2, name="up1", **kw)(x5, x4, train)
-        x = Up(CH[2] // 2, name="up2", **kw)(x, x3, train)
-        x = Up(CH[1] // 2, name="up3", **kw)(x, x2, train)
-        x = Up(CH[0], name="up4", **kw)(x, x1, train)
+        x = Up(CH[3] // 2, name="up1", **ir_kw)(x5, x4, train)
+        x = Up(CH[2] // 2, name="up2", **ir_kw)(x, x3, train)
+        x = Up(CH[1] // 2, name="up3", **ir_kw)(x, x2, train)
+        x = Up(CH[0], name="up4", **ir_kw)(x, x1, train)
 
         out = OutConv(3, dtype=self.dtype, name="outc")(x)
         out = BatchNorm(use_running_average=not train,

@@ -122,3 +122,78 @@ def test_generator_with_pallas_attention_matches_xla_impl():
                                                  train=False)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ir_matches_flax_block():
+    """Fused IR kernel == flax InvertedResidual (eval), fp32, randomized
+    BN stats, incl. multi-row-block halo paths (KERNELS_r03 kernel)."""
+    from calipsync_tpu.kernels.fused_ir import (fold_ir_params,
+                                                fused_inverted_residual)
+    from calipsync_tpu.nn.blocks import InvertedResidual
+
+    rng = np.random.default_rng(0)
+    cases = [  # (B, H, W, Cin, features, residual, block_h)
+        (2, 16, 16, 8, 8, True, None),
+        (2, 10, 10, 16, 8, False, None),
+        (1, 20, 16, 4, 4, True, 4),
+        (2, 16, 12, 8, 8, True, 2),
+    ]
+    for b, h, w, cin, feat, res, bh in cases:
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(
+            np.float32))
+        mod = InvertedResidual(feat, stride=1, use_res_connect=res,
+                               expand_ratio=2)
+        variables = mod.init(jax.random.key(0), jnp.zeros((1, h, w, cin)))
+        stats = jax.tree.map(
+            lambda a: a + 0.3 * jnp.asarray(
+                rng.standard_normal(a.shape), a.dtype) ** 2,
+            variables["batch_stats"])
+        variables = {"params": variables["params"], "batch_stats": stats}
+        want = mod.apply(variables, x, train=False)
+        folded = fold_ir_params(variables["params"],
+                                variables["batch_stats"])
+        got = fused_inverted_residual(x, *folded, residual=res, block_h=bh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=str((b, h, w, cin, feat, res)))
+
+
+def test_fused_ir_bf16_close_to_flax():
+    from calipsync_tpu.kernels.fused_ir import (fold_ir_params,
+                                                fused_inverted_residual)
+    from calipsync_tpu.nn.blocks import InvertedResidual
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.bfloat16)
+    mod = InvertedResidual(8, stride=1, use_res_connect=True,
+                           expand_ratio=2, dtype=jnp.bfloat16)
+    variables = mod.init(jax.random.key(0), jnp.zeros((1, 16, 16, 8)))
+    want = np.asarray(mod.apply(variables, x, train=False)).astype(
+        np.float32)
+    folded = fold_ir_params(variables["params"], variables["batch_stats"])
+    got = np.asarray(fused_inverted_residual(
+        x, *folded, residual=True)).astype(np.float32)
+    # one-ulp bf16 tolerance: the fold pre-multiplies BN scale into the
+    # conv weights, so rounding points differ from conv-then-BN
+    assert np.max(np.abs(got - want)) < 0.05, np.max(np.abs(got - want))
+
+
+def test_double_conv_ir_impl_pallas_matches_xla():
+    """DoubleConvDW with ir_impl='pallas' == 'xla' above the size gate."""
+    from calipsync_tpu.nn.blocks import PALLAS_IR_MIN_HW, DoubleConvDW
+
+    h, w = 48, 40
+    assert h * w >= PALLAS_IR_MIN_HW
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, h, w, 8)).astype(np.float32))
+    base = DoubleConvDW(8, stride=1)
+    variables = base.init(jax.random.key(0), jnp.zeros((1, h, w, 8)))
+    want = base.apply(variables, x, train=False)
+    got = DoubleConvDW(8, stride=1, ir_impl="pallas").apply(
+        variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # train mode must keep the flax path (batch-stat updates + autodiff)
+    out, mutated = DoubleConvDW(8, stride=1, ir_impl="pallas").apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mutated
