@@ -122,6 +122,60 @@ class HubertFeatureExtractor:
         t = feats.shape[0] - (feats.shape[0] % 2)
         return feats[:t].reshape(-1, 2, self.config.hidden_size)
 
+    def extract_features_stream(self, speech_16k: np.ndarray):
+        """Chunked long-audio path as a generator of (n_i, 2, hidden)
+        blocks; ``np.concatenate(list(...))`` equals
+        :meth:`extract_features` row-for-row.
+
+        Each full 20 s chunk becomes one block as soon as its forward
+        finishes, so a consumer (the pipelined offline manager,
+        pipelines/inference.py) can start synthesizing frames while later
+        audio is still being featurized instead of waiting for the whole
+        clip (the reference extracts everything up front,
+        /root/reference/inference.py:64-72)."""
+        if speech_16k.ndim == 2:
+            speech_16k = speech_16k[:, 0]
+        normalized = np.asarray(normalize_wav(speech_16k))
+        total = normalized.shape[0]
+        num_iter = total // self.clip_samples
+        expected_t = (total - (self.kernel - self.stride)) // self.stride
+        t_even = max(0, expected_t - expected_t % 2)
+        hidden = self.config.hidden_size
+
+        def pieces():
+            for i in range(num_iter):
+                start = self.clip_samples * i
+                yield self._forward_padded(
+                    normalized[start:start + self.chunk_len])
+            remaining = normalized[self.clip_samples * num_iter:]
+            if remaining.shape[0] >= self.kernel:
+                yield self._forward_padded(remaining)
+
+        got_piece = False
+        emitted = 0  # frames paired off so far (always even)
+        buf = np.zeros((0, hidden), np.float32)
+        for piece in pieces():
+            got_piece = True
+            buf = piece if buf.shape[0] == 0 else np.concatenate(
+                [buf, piece], axis=0)
+            take = min(buf.shape[0], t_even - emitted)
+            n2 = take - take % 2
+            if n2 > 0:
+                yield np.ascontiguousarray(
+                    buf[:n2].reshape(-1, 2, hidden))
+                emitted += n2
+                buf = buf[n2:]
+        if not got_piece:
+            return  # reference returns an empty array here
+        if emitted < t_even:  # pad up to expected_T (reference :52-54)
+            yield np.zeros(((t_even - emitted) // 2, 2, hidden),
+                           np.float32)
+
+    def extract_from_file_stream(self, audio_path: str):
+        from calipsync_tpu.audio.io import load_audio
+
+        return self.extract_features_stream(load_audio(audio_path, 16_000))
+
     def extract_auto(self, speech_16k: np.ndarray) -> np.ndarray:
         """One-pass for clips up to one chunk (exact), chunked beyond.
 

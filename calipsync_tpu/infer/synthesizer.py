@@ -480,7 +480,8 @@ class FrameSynthesizer:
 
     def iterate_synthesized_frames(
             self, features: np.ndarray, start_frame_idx: int = 0,
-            is_generate_sync_frame: bool = True) -> Iterator[Dict]:
+            is_generate_sync_frame: bool = True,
+            row_range: Optional[tuple] = None) -> Iterator[Dict]:
         """Yield {'frame','index','physical_index'} dicts for each output
         frame driven by the HuBERT features (reference :359-451).
 
@@ -488,10 +489,24 @@ class FrameSynthesizer:
         device batches (async under jit); worker threads block on the d2h
         copy and composite; results are yielded strictly in order. While
         the TPU computes batch k and its predictions stream back over the
-        interconnect, the host CPU composites batch k-1."""
+        interconnect, the host CPU composites batch k-1.
+
+        ``row_range=(lo, hi)`` generates frames only for feature rows
+        [lo, hi) of the passed array while the rest of the array provides
+        audio-window context (the window spans rows [i-8, i+8), so a
+        caller feeding feature *slices* of a longer clip — the pipelined
+        offline manager — passes an 8-row margin on each side and results
+        are bit-identical to one call over the full array, provided span
+        starts stay multiples of ``batch_size`` so the ping-pong
+        sequencer sees the same next() partition)."""
         self.last_logical_index = start_frame_idx - 1
         stats = {"load_frame": 0.0, "process_batch": 0.0}
         total = len(features)
+        lo, hi = (0, total) if row_range is None else row_range
+        if not (0 <= lo <= hi <= total):
+            raise ValueError(f"row_range {row_range} out of bounds for "
+                             f"{total} feature rows")
+        n_rows = hi - lo
         # Bucket the feature length: T is a static shape under jit, so
         # padding to a multiple keeps one compiled executable per bucket
         # instead of one per clip length. Zero rows are exactly the
@@ -521,8 +536,8 @@ class FrameSynthesizer:
                        "physical_index": phys}
 
         try:
-            for start in range(0, total, self.batch_size):
-                end = min(start + self.batch_size, total)
+            for start in range(lo, hi, self.batch_size):
+                end = min(start + self.batch_size, hi)
                 seq = self.sequencer.next(end - start)
 
                 t0 = time.time()
@@ -555,8 +570,8 @@ class FrameSynthesizer:
             stats["process_batch"] = time.time() - t_start - \
                 stats["load_frame"]
             t = time.time() - t_start
-            if t > 0 and total:
-                print(f"synthesis: {total / t:.2f} fps "
+            if t > 0 and n_rows:
+                print(f"synthesis: {n_rows / t:.2f} fps "
                       f"(load {stats['load_frame']:.2f}s, "
                       f"generate+paste {stats['process_batch']:.2f}s)")
 

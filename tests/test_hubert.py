@@ -160,6 +160,34 @@ def test_chunked_matches_reference_loop(n_samples):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_samples", [3730,  # 3 chunks + live remainder
+                                       3025,  # remainder < kernel: dropped
+                                       900,   # remainder-only clip
+                                       20])   # too short: empty output
+def test_extract_features_stream_equals_batch(n_samples):
+    """The streaming generator (pipelined offline inference) must emit
+    blocks whose concatenation is bit-identical to extract_features —
+    same chunk forwards, same expected_T trim/pad, same pairing."""
+    _, cfg, variables = _tiny_pair("layer", True)
+    kernel, stride, clip = 30, 20, 1000
+    ex = HubertFeatureExtractor(variables, cfg, bucket_samples=500,
+                                kernel=kernel, stride=stride,
+                                clip_samples=clip)
+    wav = np.random.default_rng(6).standard_normal(
+        (n_samples,)).astype(np.float32)
+
+    batch = ex.extract_features(wav)
+    blocks = list(ex.extract_features_stream(wav))
+    if batch.shape[0] == 0:
+        assert sum(len(b) for b in blocks) == 0
+        return
+    if n_samples > clip:  # long clips must stream in >1 block
+        assert len(blocks) > 1
+    streamed = np.concatenate(blocks, axis=0)
+    assert streamed.shape == batch.shape
+    np.testing.assert_array_equal(streamed, batch)
+
+
 def test_large_layer_count_bf16_vs_fp32():
     """Serving runs HuBERT-large (24 layers) in bf16; bound the accuracy
     cost vs fp32 at the real depth/width (random weights — the checkpoint

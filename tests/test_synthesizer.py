@@ -296,3 +296,98 @@ def test_preload_max_bytes_valve(synthetic_step3_dir, gen_variables):
     b = [it["frame"] for it in capped.iterate_synthesized_frames(feats)]
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_iterate_row_range_slices_match_full(synthetic_step3_dir,
+                                             gen_variables):
+    """Feeding feature *slices* with an 8-row margin through
+    ``row_range`` reproduces the single full-array call bit-exactly when
+    span starts are multiples of batch_size (the pipelined offline
+    manager's contract, pipelines/inference.py)."""
+    model, variables = gen_variables
+    feats = np.random.default_rng(11).standard_normal(
+        (20, 2, 1024)).astype(np.float32)
+
+    full_synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                                  model=model, batch_size=4, seed=3)
+    full = list(full_synth.iterate_synthesized_frames(feats))
+
+    synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                             model=model, batch_size=4, seed=3)
+    got = []
+    for lo, hi in [(0, 8), (8, 16), (16, 20)]:
+        ctx_lo, ctx_hi = max(0, lo - 8), min(20, hi + 8)
+        got.extend(synth.iterate_synthesized_frames(
+            feats[ctx_lo:ctx_hi], lo,
+            row_range=(lo - ctx_lo, hi - ctx_lo)))
+
+    assert [it["index"] for it in got] == [it["index"] for it in full]
+    assert ([it["physical_index"] for it in got]
+            == [it["physical_index"] for it in full])
+    for a, b in zip(got, full):
+        np.testing.assert_array_equal(a["frame"], b["frame"])
+
+
+class _StreamingStubHubert:
+    """Fixed features, streamed in deliberately uneven blocks."""
+
+    def __init__(self, feats, block_sizes):
+        self.feats = feats
+        self.block_sizes = block_sizes
+        assert sum(block_sizes) == len(feats)
+
+    def extract_from_file(self, path):
+        return self.feats
+
+    def extract_from_file_stream(self, path):
+        import time
+
+        i = 0
+        for n in self.block_sizes:
+            time.sleep(0.02)  # exercise the consumer's wait path
+            yield self.feats[i:i + n]
+            i += n
+
+
+def test_pipelined_offline_manager_matches_sequential(synthetic_step3_dir,
+                                                      gen_variables,
+                                                      tmp_path):
+    """The pipelined offline path (featurize || synthesize || encode)
+    produces a video identical to the sequential reference flow."""
+    import cv2
+
+    from calipsync_tpu.audio.io import save_wav
+    from calipsync_tpu.pipelines.inference import VideoStreamManager
+
+    model, variables = gen_variables
+    feats = np.random.default_rng(12).standard_normal(
+        (20, 2, 1024)).astype(np.float32)
+    wav = str(tmp_path / "in.wav")
+    save_wav(wav, np.zeros(16000, np.float32), 16000)
+
+    def decode(path):
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f)
+        cap.release()
+        return frames
+
+    outs = {}
+    for name, pipelined in [("seq", False), ("pipe", True)]:
+        synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                                 model=model, batch_size=4, seed=5)
+        hub = _StreamingStubHubert(feats, (7, 9, 4))
+        mgr = VideoStreamManager(synth, hub, fps=25, pipelined=pipelined,
+                                 span_rows=8)
+        out = str(tmp_path / f"{name}.mp4")
+        result = mgr.process_single_file(wav, out)
+        assert result["frames"] == 20
+        outs[name] = decode(out)
+
+    assert len(outs["seq"]) == len(outs["pipe"]) == 20
+    for a, b in zip(outs["seq"], outs["pipe"]):
+        np.testing.assert_array_equal(a, b)
