@@ -391,3 +391,27 @@ def test_pipelined_offline_manager_matches_sequential(synthetic_step3_dir,
     assert len(outs["seq"]) == len(outs["pipe"]) == 20
     for a, b in zip(outs["seq"], outs["pipe"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_manager_propagates_extractor_error(synthetic_step3_dir,
+                                                      gen_variables,
+                                                      tmp_path):
+    """A featurizer failure mid-stream surfaces as RuntimeError instead
+    of hanging the consumer or leaking the producer/writer threads."""
+    from calipsync_tpu.audio.io import save_wav
+    from calipsync_tpu.pipelines.inference import VideoStreamManager
+
+    class _FailingHubert:
+        def extract_from_file_stream(self, path):
+            yield np.zeros((4, 2, 1024), np.float32)
+            raise RuntimeError("link dropped")
+
+    model, variables = gen_variables
+    wav = str(tmp_path / "in.wav")
+    save_wav(wav, np.zeros(8000, np.float32), 16000)
+    synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                             model=model, batch_size=4, seed=0)
+    mgr = VideoStreamManager(synth, _FailingHubert(), pipelined=True,
+                             span_rows=8)
+    with pytest.raises(RuntimeError, match="feature extraction failed"):
+        mgr.process_single_file(wav, str(tmp_path / "out.mp4"))
