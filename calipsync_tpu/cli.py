@@ -147,7 +147,9 @@ def cmd_infer(args):
                              crop=cfg.crop, seed=args.seed,
                              transfer_format=cfg.infer.transfer_format)
     mgr = VideoStreamManager(synth, build_hubert(args.hubert),
-                             fps=cfg.infer.fps)
+                             fps=cfg.infer.fps,
+                             pipelined=False if args.no_pipelined
+                             else None)
     out = mgr.process_single_file(args.audio, args.out)
     print(json.dumps(out))
 
@@ -437,6 +439,10 @@ def main(argv=None):
     sp.add_argument("--audio", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--seed", type=int, default=None)
+    sp.add_argument("--no-pipelined", action="store_true",
+                    help="strict reference ordering: featurize the whole "
+                         "clip before synthesizing (default overlaps "
+                         "featurize/synthesize/encode)")
     common(sp, "hubert")
     sp.set_defaults(fn=cmd_infer)
 

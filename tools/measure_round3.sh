@@ -25,5 +25,9 @@ PRE_AB=1 PRE_STRIDE_AB=1 timeout 1200 python tools/bench_preprocess.py \
 # 5. multi-stream capacity (target >=25 realtime streams/chip)
 timeout 1200 python tools/bench_multistream.py | tee -a "$OUT"
 
-# 6. training throughput (resident, fp32 vs bf16 if supported)
+# 6. training throughput (resident, fp32 vs bf16)
 timeout 1200 python tools/bench_train.py | tee -a "$OUT"
+TRAIN_DTYPE=bfloat16 timeout 1200 python tools/bench_train.py | tee -a "$OUT"
+
+# 7. offline file-to-file A/B (sequential vs pipelined manager)
+timeout 1500 python tools/bench_offline.py | tee -a "$OUT"
