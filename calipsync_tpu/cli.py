@@ -165,6 +165,40 @@ def cmd_clone(args):
     print(json.dumps({"weights": weights_path, "model_id": model_id}))
 
 
+def cmd_syncnet_train(args):
+    """Train the SyncNet evaluator on a step1 dataset (the reference
+    exposes this as module/syncnet.py:417-430's argparse main)."""
+    from calipsync_tpu.train.syncnet_trainer import train_sync_net
+
+    last = None
+    for (batch_idx, total, epoch, epochs, loss, best,
+         elapsed) in train_sync_net(
+            args.save, args.data, mode=args.mode,
+            batch_size=args.batch_size, lr=args.lr, epochs=args.epochs,
+            base_last_model=args.base, seed=args.seed):
+        last = (epoch, epochs, loss, best)
+        if args.log_every and batch_idx % args.log_every == 0:
+            print(f"epoch {epoch + 1}/{epochs} batch {batch_idx}/{total} "
+                  f"loss {loss:.4f} best {best:.4f} ({elapsed:.0f}s)")
+    if last is None:
+        raise SystemExit("empty dataset")
+    print(json.dumps({"save_dir": args.save, "epochs": last[1],
+                      "final_loss": round(float(last[2]), 6),
+                      "best_loss": round(float(last[3]), 6)}))
+
+
+def cmd_featurize(args):
+    """Audio file -> HuBERT feature rows .npy (the reference exposes this
+    as utils/hubert.py:102-106's argparse main)."""
+    import numpy as np
+
+    ex = build_hubert(args.hubert)
+    feats = ex.extract_from_file(args.audio)
+    np.save(args.out, feats)
+    print(json.dumps({"out": args.out, "rows": int(feats.shape[0]),
+                      "shape": list(feats.shape)}))
+
+
 def cmd_cost(args):
     from calipsync_tpu.profiling import generator_cost
 
@@ -476,6 +510,30 @@ def main(argv=None):
     sp = sub.add_parser("cost", help="compiled model cost analysis")
     sp.add_argument("--batch", type=int, default=1)
     sp.set_defaults(fn=cmd_cost)
+
+    sp = sub.add_parser("syncnet-train",
+                        help="train the SyncNet evaluator on a step1 "
+                             "dataset (reference module/syncnet.py main)")
+    sp.add_argument("--data", required=True, help="step1 output dir")
+    sp.add_argument("--save", required=True, help="checkpoint dir")
+    sp.add_argument("--mode", default="hubert",
+                    choices=["hubert", "wenet"])
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--epochs", type=int, default=40)
+    sp.add_argument("--base", default=None,
+                    help="warm-start checkpoint dir")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--log-every", type=int, default=10)
+    sp.set_defaults(fn=cmd_syncnet_train)
+
+    sp = sub.add_parser("featurize",
+                        help="audio file -> HuBERT feature rows .npy "
+                             "(reference utils/hubert.py main)")
+    sp.add_argument("--audio", required=True)
+    sp.add_argument("--out", required=True, help=".npy output path")
+    common(sp, "hubert")
+    sp.set_defaults(fn=cmd_featurize)
 
     sp = sub.add_parser("eval",
                         help="frame-wise PSNR/LPIPS between two videos")

@@ -65,7 +65,9 @@ def train_sync_net(save_dir: str, dataset_dir: str, mode: str = "hubert",
                    batch_size: int = 16, lr: float = 1e-3,
                    epochs: int = 40, base_last_model: Optional[str] = None,
                    seed: int = 0) -> Iterator[tuple]:
-    """Generator yielding (batch_idx, total, epoch, epochs, loss, best)."""
+    """Generator yielding (batch_idx, total, epoch, epochs, loss, best,
+    elapsed_s) per batch — the reference's train_sync_net is likewise a
+    per-batch progress generator (module/syncnet.py:364-414)."""
     os.makedirs(save_dir, exist_ok=True)
     model = SyncNet(mode=mode)
     ds = SyncNetDataset(dataset_dir, mode)

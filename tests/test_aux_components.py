@@ -235,3 +235,27 @@ def test_cli_eval_psnr(tmp_path, capsys):
     main(["eval", "--a", paths[0], "--b", paths[0]])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["psnr_db_mean"] is None or out2["psnr_db_mean"] > 90.0
+
+
+def test_cli_syncnet_train_and_featurize(synthetic_step1_dir, tmp_path,
+                                         monkeypatch):
+    """The reference's two argparse mains (module/syncnet.py:417-430,
+    utils/hubert.py:102-106) exist as CLI commands."""
+    from calipsync_tpu import cli
+
+    class _StubExtractor:
+        def extract_from_file(self, path):
+            return np.zeros((6, 2, 1024), np.float32)
+
+    monkeypatch.setattr(cli, "build_hubert",
+                        lambda path, dtype=None: _StubExtractor())
+    out = tmp_path / "f.npy"
+    cli.main(["featurize", "--audio", "x.wav", "--out", str(out),
+              "--hubert", "dummy"])
+    assert np.load(out).shape == (6, 2, 1024)
+
+    save = tmp_path / "sync_cli"
+    cli.main(["syncnet-train", "--data", str(synthetic_step1_dir),
+              "--save", str(save), "--epochs", "1", "--batch-size", "4",
+              "--log-every", "0"])
+    assert (save / "last").is_dir()
