@@ -237,8 +237,15 @@ def cmd_sync_score(args):
         paths = sorted(_glob.glob(os.path.join(args.lips_dir, "*.jpg")))
         if args.max_frames:
             paths = paths[:args.max_frames]
-        crops = np.stack([cv2.resize(cv2.imread(p), (160, 160))
-                          for p in paths])
+        if not paths:
+            raise SystemExit(f"no *.jpg crops in {args.lips_dir}")
+        imgs = []
+        for p in paths:
+            img = cv2.imread(p)
+            if img is None:
+                raise SystemExit(f"unreadable image: {p}")
+            imgs.append(cv2.resize(img, (160, 160)))
+        crops = np.stack(imgs)
     else:
         cap = cv2.VideoCapture(args.video)
         frames = []

@@ -59,6 +59,12 @@ class MultiStreamSynthesizer:
         self.crop = crop
         self.batch_size = batch_size
         self.mesh = mesh
+        if mesh is not None and batch_size % mesh.shape[axis_name]:
+            # same constructor-time check as FrameSynthesizer: a
+            # non-divisible batch fails deep inside shard_map with a
+            # cryptic partition error on the first tick — and must fail
+            # before the expensive combined-store build below
+            raise ValueError("batch_size must divide over the mesh")
         self.feature_bucket = feature_bucket
         self.transfer_format = transfer_format
         self._rng = np.random.default_rng(seed)
@@ -83,12 +89,6 @@ class MultiStreamSynthesizer:
         combined = np.concatenate(stores, axis=0)
 
         if mesh is not None:
-            if batch_size % mesh.shape[axis_name]:
-                # same constructor-time check as FrameSynthesizer: a
-                # non-divisible batch fails deep inside shard_map with a
-                # cryptic partition error on the first tick, after the
-                # expensive combined-store build above
-                raise ValueError("batch_size must divide over the mesh")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())

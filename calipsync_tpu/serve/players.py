@@ -91,10 +91,14 @@ class BasePlayer:
         thread = self._thread
         if thread is not None:
             thread.join(timeout=2.0)
-            self._thread = None
+            if not thread.is_alive():
+                self._thread = None
         # True when the pacing thread is fully stopped; False if the
         # join timed out (thread stuck in a blocking render) — resource
         # owners must NOT close fds/handles the thread may still use.
+        # A timed-out thread stays in self._thread so a later
+        # stop_playing re-checks the live thread instead of assuming
+        # it exited.
         self._stopped = thread is None or not thread.is_alive()
 
     # -- pacing loop --

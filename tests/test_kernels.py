@@ -1,5 +1,7 @@
 """Pallas kernels: numeric parity vs XLA reference (interpret mode on CPU)."""
 
+from functools import partial
+
 import numpy as np
 import pytest
 
@@ -149,7 +151,7 @@ def test_fused_ir_matches_flax_block():
                 rng.standard_normal(a.shape), a.dtype) ** 2,
             variables["batch_stats"])
         variables = {"params": variables["params"], "batch_stats": stats}
-        want = mod.apply(variables, x, train=False)
+        want = jax.jit(partial(mod.apply, train=False))(variables, x)
         folded = fold_ir_params(variables["params"],
                                 variables["batch_stats"])
         got = fused_inverted_residual(x, *folded, residual=res, block_h=bh)
@@ -168,8 +170,8 @@ def test_fused_ir_bf16_close_to_flax():
     mod = InvertedResidual(8, stride=1, use_res_connect=True,
                            expand_ratio=2, dtype=jnp.bfloat16)
     variables = mod.init(jax.random.key(0), jnp.zeros((1, 16, 16, 8)))
-    want = np.asarray(mod.apply(variables, x, train=False)).astype(
-        np.float32)
+    want = np.asarray(jax.jit(partial(mod.apply, train=False))(
+        variables, x)).astype(np.float32)
     folded = fold_ir_params(variables["params"], variables["batch_stats"])
     got = np.asarray(fused_inverted_residual(
         x, *folded, residual=True)).astype(np.float32)
@@ -188,9 +190,9 @@ def test_double_conv_ir_impl_pallas_matches_xla():
     x = jnp.asarray(rng.standard_normal((1, h, w, 8)).astype(np.float32))
     base = DoubleConvDW(8, stride=1)
     variables = base.init(jax.random.key(0), jnp.zeros((1, h, w, 8)))
-    want = base.apply(variables, x, train=False)
-    got = DoubleConvDW(8, stride=1, ir_impl="pallas").apply(
-        variables, x, train=False)
+    want = jax.jit(partial(base.apply, train=False))(variables, x)
+    got = jax.jit(partial(DoubleConvDW(8, stride=1, ir_impl="pallas").apply,
+                          train=False))(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
     # train mode must keep the flax path (batch-stat updates + autodiff)

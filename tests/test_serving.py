@@ -384,3 +384,36 @@ def test_sample_rate_mismatch_fails_loudly(tmp_path):
         StreamingVideoManager(_FakeSynth(), _FakeHubert(),
                               NullPlayer(sample_rate=24_000),
                               output_sample_rate=48_000)
+
+
+def test_stop_playing_twice_with_stuck_render_stays_unsafe():
+    """Regression: a stop_playing whose join times out (pacing thread
+    blocked inside a render, e.g. RTMP write to a stalled ffmpeg) must
+    not let a SECOND stop_playing report the thread as stopped — that is
+    the signal RTMPPlayer/VirtualCamPlayer use to decide it is safe to
+    close fds the render may still be writing to."""
+    import threading
+
+    gate = threading.Event()
+    entered = threading.Event()
+
+    def block(_item):
+        entered.set()
+        gate.wait(timeout=30)
+
+    p = NullPlayer(fps=1000, on_frame=block)
+    p.upload_frame({"frame": None, "audio": None, "index": 0})
+    p.start_playing()
+    assert entered.wait(timeout=5)
+
+    p.stop_playing()             # join times out: thread stuck in render
+    assert p._stopped is False
+    p.stop_playing()             # must NOT flip to True while it lives
+    assert p._stopped is False
+
+    gate.set()
+    thread = p._thread
+    assert thread is not None
+    thread.join(timeout=5)
+    p.stop_playing()
+    assert p._stopped is True
