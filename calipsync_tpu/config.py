@@ -74,6 +74,11 @@ class TrainConfig:
     # drop_last policy as partial batches); an epoch smaller than one
     # block is wrap-padded so tiny datasets still train.
     steps_per_dispatch: int = 1
+    # SIGTERM/SIGINT checkpoint the run at the next batch boundary and
+    # return cleanly (resume=True continues). Preemptible TPU pools send
+    # SIGTERM with a grace window; set False when the caller owns the
+    # process's signal handling.
+    preemption_safe: bool = True
 
 
 @dataclass(frozen=True)

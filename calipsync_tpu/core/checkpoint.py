@@ -72,3 +72,54 @@ def restore_checkpoint(directory: str | pathlib.Path, template: Any,
     target = jax.tree.map(spec, template)
     with _checkpointer() as ckptr:
         return ckptr.restore(path, target)
+
+
+class PreemptionGuard:
+    """Flag-only SIGTERM/SIGINT latch for checkpoint-at-a-safe-point.
+
+    Preemptible TPU pools deliver SIGTERM with a grace window; the
+    reference has no notion of this (it saves only at the final epoch,
+    /root/reference/step2_train_unet.py:126-128). The handler just sets
+    a flag — the training loop polls ``triggered`` at batch boundaries,
+    saves a checkpoint and returns cleanly, so a preempted run resumes
+    with ``resume=True`` instead of losing the whole run.
+
+    Use as a context manager; previous handlers are restored on exit.
+    A second signal while the flag is already set re-raises the default
+    behavior (so a stuck save can still be killed).
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = (tuple(signals) if signals is not None
+                        else (_signal.SIGTERM, _signal.SIGINT))
+        self._prev = {}
+        self._triggered = False
+
+    @property
+    def triggered(self) -> bool:
+        return self._triggered
+
+    def _handle(self, signum, frame):
+        if self._triggered:  # second signal: escalate to the old handler
+            prev = self._prev.get(signum, self._signal.SIG_DFL)
+            self._signal.signal(signum, prev)
+            self._signal.raise_signal(signum)
+            return
+        self._triggered = True
+
+    def __enter__(self) -> "PreemptionGuard":
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self  # handlers are installable from the main thread only
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handle)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        self._prev.clear()

@@ -51,7 +51,28 @@ def train_digital_model(dataset_dir: str, save_dir: str,
     ``unet_checkpoint`` may be a torch .pth (base-model warm start, the
     reference flow at all_pipeline.py:92) or an Orbax dir (ours).
     Returns the final checkpoint path.
+
+    With ``cfg.train.preemption_safe`` (default), SIGTERM/SIGINT make
+    the loop checkpoint at the next batch boundary and return cleanly;
+    rerun with ``resume=True`` to continue (preemptible TPU pools send
+    SIGTERM with a grace window — the reference loses the whole run).
     """
+    if cfg.train.preemption_safe:
+        with ckpt.PreemptionGuard() as guard:
+            return _train_impl(dataset_dir, save_dir, vgg_path,
+                               unet_checkpoint, cfg, resume, log_every,
+                               guard)
+    return _train_impl(dataset_dir, save_dir, vgg_path, unet_checkpoint,
+                       cfg, resume, log_every, None)
+
+
+def _train_impl(dataset_dir: str, save_dir: str,
+                vgg_path: Optional[str],
+                unet_checkpoint: Optional[str],
+                cfg: PipelineConfig,
+                resume: bool,
+                log_every: int,
+                guard: Optional[ckpt.PreemptionGuard]) -> str:
     os.makedirs(save_dir, exist_ok=True)
     mesh = build_mesh(cfg.mesh)  # 1-D or hybrid (host, data) per config
     axes = batch_axes(mesh)
@@ -112,6 +133,7 @@ def train_digital_model(dataset_dir: str, save_dir: str,
 
     rng = np.random.default_rng(cfg.train.seed)
     last_path = ""
+    preempted = False
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         if resident:
@@ -157,6 +179,9 @@ def train_digital_model(dataset_dir: str, save_dir: str,
                         print(f"epoch {epoch + 1}/{cfg.train.epochs} "
                               f"batch {n_batches} "
                               f"loss {float(metrics['loss'][-1]):.6f}")
+                    if guard is not None and guard.triggered:
+                        preempted = True
+                        break
             else:
                 for batch in batches:
                     if resident:
@@ -175,9 +200,21 @@ def train_digital_model(dataset_dir: str, save_dir: str,
                         print(f"epoch {epoch + 1}/{cfg.train.epochs} "
                               f"batch {n_batches} "
                               f"loss {float(metrics['loss']):.6f}")
+                    if guard is not None and guard.triggered:
+                        preempted = True
+                        break
         finally:
             if isinstance(batches, Prefetcher):
                 batches.close()  # don't leak the decode thread on error
+        if preempted:
+            # this epoch is incomplete: checkpoint keyed by `epoch` (not
+            # epoch+1) so resume=True redoes it from the saved state; an
+            # existing periodic save at the same key is overwritten
+            last_path = str(ckpt.save_checkpoint(save_dir, epoch, state))
+            print(f"preempted during epoch {epoch + 1} after "
+                  f"{n_batches} batches; checkpoint saved to {last_path}"
+                  f" — rerun with resume=True to continue")
+            return last_path
         epoch_loss = (float(jnp.sum(jnp.concatenate(
             [jnp.atleast_1d(l) for l in losses]))) if losses else 0.0)
         final = epoch == cfg.train.epochs - 1

@@ -259,3 +259,46 @@ def test_cli_syncnet_train_and_featurize(synthetic_step1_dir, tmp_path,
               "--save", str(save), "--epochs", "1", "--batch-size", "4",
               "--log-every", "0"])
     assert (save / "last").is_dir()
+
+
+def test_preemption_guard_signal_latch():
+    """PreemptionGuard: first signal only sets the flag, second signal
+    escalates to the previous handler, exit restores handlers."""
+    import signal
+
+    from calipsync_tpu.core.checkpoint import PreemptionGuard
+
+    seen = []
+    original = signal.signal(signal.SIGUSR1, lambda s, f: seen.append(s))
+    try:
+        with PreemptionGuard(signals=(signal.SIGUSR1,)) as g:
+            assert g.triggered is False
+            signal.raise_signal(signal.SIGUSR1)
+            assert g.triggered is True
+            assert seen == []           # first signal: flag only
+            signal.raise_signal(signal.SIGUSR1)
+            assert seen == [signal.SIGUSR1]  # second: previous handler
+        handler = signal.getsignal(signal.SIGUSR1)
+        assert handler is not signal.SIG_DFL  # restored, not dropped
+    finally:
+        signal.signal(signal.SIGUSR1, original)
+
+
+def test_preemption_guard_noop_off_main_thread():
+    import signal
+    import threading
+
+    from calipsync_tpu.core.checkpoint import PreemptionGuard
+
+    before = signal.getsignal(signal.SIGTERM)
+    result = {}
+
+    def run():
+        with PreemptionGuard() as g:
+            result["triggered"] = g.triggered
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    assert result == {"triggered": False}
+    assert signal.getsignal(signal.SIGTERM) is before

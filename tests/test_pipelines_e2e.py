@@ -202,3 +202,46 @@ def test_resident_max_bytes_valve(synthetic_step1_dir, tmp_path, capsys):
                                log_every=0)
     assert path and os.path.isdir(path)
     assert "resident_max_bytes" in capsys.readouterr().out
+
+
+def test_preemption_checkpoints_and_resumes(synthetic_step1_dir, tmp_path,
+                                            monkeypatch, capsys):
+    """A SIGTERM mid-epoch (simulated via the guard flag) checkpoints at
+    the next batch boundary, keyed by the INCOMPLETE epoch, and a
+    resume=True rerun finishes the full run."""
+    from calipsync_tpu.core import checkpoint as ckpt
+    from calipsync_tpu.pipelines import step2_train
+
+    class _FakeGuard:
+        """Trips after the Nth batch-boundary poll."""
+
+        def __init__(self, after=1):
+            self.polls, self.after = 0, after
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            pass
+
+        @property
+        def triggered(self):
+            self.polls += 1
+            return self.polls > self.after
+
+    monkeypatch.setattr(ckpt, "PreemptionGuard", _FakeGuard)
+    cfg = PipelineConfig(
+        train=TrainConfig(batch_size=4, epochs=2, num_workers=2,
+                          perceptual_weight=0.0),
+        mesh=MeshConfig(data=4))
+    save = str(tmp_path / "ckpt")
+    path = step2_train.train_digital_model(str(synthetic_step1_dir), save,
+                                           cfg=cfg, log_every=0)
+    assert path and os.path.isdir(path)
+    assert ckpt.latest_step(save) == 0  # epoch 0 incomplete -> key 0
+    assert "preempted" in capsys.readouterr().out
+
+    monkeypatch.undo()  # real (never-triggered) guard for the rerun
+    step2_train.train_digital_model(str(synthetic_step1_dir), save,
+                                    cfg=cfg, resume=True, log_every=0)
+    assert ckpt.latest_step(save) == 2
