@@ -61,10 +61,16 @@ def load_audio(path: str, sample_rate: int = 16_000,
         sr, data = wavfile.read(path)
         audio = _to_float_mono(data)
         return resample(audio, sr, sample_rate)
+    if path.lower().endswith((".mp4", ".mov", ".m4a")):
+        from calipsync_tpu.media.mp4 import has_pcm_audio, read_pcm_audio
+
+        if has_pcm_audio(path):
+            sr, audio = read_pcm_audio(path)
+            return resample(audio, sr, sample_rate)
     if not have_ffmpeg():
         raise RuntimeError(
             f"cannot decode {path!r}: no ffmpeg on this host and native "
-            "decode only supports .wav")
+            "decode supports .wav and PCM-in-mp4 only")
     cmd = ["ffmpeg", "-v", "error", "-i", path, "-vn",
            "-ar", str(sample_rate), "-ac", str(channels), "-f", "f32le",
            "-"]
@@ -78,12 +84,21 @@ def load_audio(path: str, sample_rate: int = 16_000,
 def extract_wav(video_path: str, wav_path: str,
                 sample_rate: int = 16_000) -> None:
     """Extract a mono wav track from a video (reference step1:172-177).
-    Needs ffmpeg; gate callers on :func:`have_ffmpeg` or pass a side-car
-    wav to the pipeline instead."""
+
+    Native path first: videos carrying a PCM track (everything this
+    package muxes without ffmpeg, media/mp4.py) decode via the box-level
+    reader. Compressed audio (aac/mp3) needs an ffmpeg binary."""
+    from calipsync_tpu.media.mp4 import has_pcm_audio, read_pcm_audio
+
+    if video_path.lower().endswith((".mp4", ".mov")) \
+            and has_pcm_audio(video_path):
+        sr, audio = read_pcm_audio(video_path)
+        save_wav(wav_path, resample(audio, sr, sample_rate), sample_rate)
+        return
     if not have_ffmpeg():
         raise RuntimeError(
-            "audio extraction from video requires ffmpeg; provide the "
-            "audio as a .wav side-car file instead")
+            "this video's audio track is not PCM and there is no ffmpeg "
+            "on the host; provide the audio as a .wav side-car instead")
     subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", video_path, "-vn",
                     "-ar", str(sample_rate), "-ac", "1", wav_path],
                    check=True)
@@ -106,17 +121,26 @@ def mux_audio(video_path: str, audio_path: str, out_path: str,
               audio_codec: str = "aac") -> Optional[str]:
     """Mux video with an audio track (reference inference.py:108-110).
 
-    With ffmpeg: writes ``out_path`` and returns it. Without: copies the
-    video to ``out_path`` and writes the audio next to it as
-    ``{out_path}.wav`` (cv2 cannot mux audio), returning the wav path.
+    With ffmpeg: ``-c:v copy -c:a aac``, as the reference. Without: a
+    box-level remux (media/mp4.py) that copies the video samples
+    bit-exact and attaches the audio as lossless 16-bit PCM — still one
+    playable A/V file. Returns None in both single-file cases. The wav
+    side-car (returning its path) remains only as a last resort if the
+    input container cannot be parsed at the box level.
     """
     if have_ffmpeg():
         subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", video_path,
                         "-i", audio_path, "-c:v", "copy", "-c:a",
                         audio_codec, "-shortest", out_path], check=True)
         return None
-    shutil.copyfile(video_path, out_path)
-    side_car = out_path + ".wav"
     audio = load_audio(audio_path, 24_000)
-    save_wav(side_car, audio, 24_000)
-    return side_car
+    try:
+        from calipsync_tpu.media.mp4 import mux_pcm_audio
+
+        mux_pcm_audio(video_path, audio, 24_000, out_path)
+        return None
+    except ValueError:
+        shutil.copyfile(video_path, out_path)
+        side_car = out_path + ".wav"
+        save_wav(side_car, audio, 24_000)
+        return side_car

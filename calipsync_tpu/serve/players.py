@@ -18,13 +18,15 @@ the stream manager uses:
 
 Backends:
   - NullPlayer: pacing + callbacks only (tests, benchmarks).
-  - FilePlayer: append frames/audio; finalize() muxes an .mp4 via ffmpeg.
+  - FilePlayer: append frames/audio; finalize() muxes one A/V .mp4
+    (ffmpeg when present, else the box-level PCM remux in media/mp4.py).
   - WindowPlayer: cv2.imshow GUI (gated on a display being available).
   - RTMPPlayer: raw BGR + f32 audio piped to ffmpeg flv push over named
     pipes — the Linux equivalent of the reference's win32 pipe + NVENC
     pusher (player_rtmp_windows.py:10-184).
-  - VirtualCamPlayer: interface stub (pyvirtualcam is not in this image;
-    reference player_cam.py).
+  - VirtualCamPlayer: v4l2loopback virtual webcam (Linux-native
+    equivalent of the reference's pyvirtualcam, player_cam.py); gated
+    on the /dev/videoN device existing.
 """
 
 from __future__ import annotations

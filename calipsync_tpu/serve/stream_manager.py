@@ -12,8 +12,9 @@ Rebuild of /root/reference/image_infer_v1/infer_api.py:24-532:
   - ``use_silent_features`` substitutes silence HuBERT rows so the mouth
     stays still while audio plays (the "co-host" mode, reference :144-157).
 
-Audio IO goes through ffmpeg (audio/io.py); features through the JAX
-HuBERT extractor. Synthesis runs on TPU via infer/synthesizer.py.
+Audio IO goes through audio/io.py (native wav/PCM decode, ffmpeg only
+for compressed containers); features through the JAX HuBERT extractor.
+Synthesis runs on TPU via infer/synthesizer.py.
 """
 
 from __future__ import annotations

@@ -127,6 +127,12 @@ def test_full_pipeline(synthetic_video, tmp_path):
     result = mgr.process_single_file(wav, str(tmp_path / "out.mp4"))
     assert result["frames"] >= 4
     assert os.path.getsize(tmp_path / "out.mp4") > 0
+    # no ffmpeg on this image: the box-level remux must still deliver a
+    # single playable A/V file (PCM track), not a wav side-car
+    from calipsync_tpu.media.mp4 import has_pcm_audio
+
+    assert result["audio_side_car"] is None
+    assert has_pcm_audio(str(tmp_path / "out.mp4"))
 
 
 def test_train_resume(synthetic_step1_dir, tmp_path):
