@@ -205,6 +205,22 @@ def cmd_cost(args):
     print(json.dumps(generator_cost(batch=args.batch)["gflops"]))
 
 
+def cmd_export_torch(args):
+    """Export a generator checkpoint (Orbax dir or torch .pth) to the
+    reference Model's torch state_dict layout — strict-loadable, so a
+    TPU-trained generator serves on the reference's own stack."""
+    from calipsync_tpu.core.weights_export import (export_generator,
+                                                   save_torch_checkpoint)
+
+    cfg = _load_cfg(args)
+    variables = load_generator_variables(args.ckpt, cfg)
+    sd = export_generator(variables, mode=cfg.model.mode,
+                          n_blocks=cfg.model.n_blocks)
+    save_torch_checkpoint(sd, args.out, wrap=args.wrap)
+    print(json.dumps({"out": args.out, "keys": len(sd),
+                      "mode": cfg.model.mode, "wrapped": bool(args.wrap)}))
+
+
 def cmd_verify_weights(args):
     """Run every applicable importer over real checkpoint files and
     report key coverage + parameter counts (calipsync_tpu.verify_weights)."""
@@ -517,6 +533,18 @@ def main(argv=None):
     sp = sub.add_parser("cost", help="compiled model cost analysis")
     sp.add_argument("--batch", type=int, default=1)
     sp.set_defaults(fn=cmd_cost)
+
+    sp = sub.add_parser("export-torch",
+                        help="generator checkpoint -> reference torch "
+                             "state_dict .pth (train on TPU, serve on "
+                             "the reference stack)")
+    sp.add_argument("--ckpt", required=True,
+                    help="Orbax checkpoint dir or torch .pth")
+    sp.add_argument("--out", required=True, help=".pth output path")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--wrap", action="store_true",
+                    help="wrap as {'state_dict': ...}")
+    sp.set_defaults(fn=cmd_export_torch)
 
     sp = sub.add_parser("syncnet-train",
                         help="train the SyncNet evaluator on a step1 "

@@ -295,6 +295,11 @@ def mux_pcm_audio(video_path: str, audio: np.ndarray, sample_rate: int,
         buf[o:o + s]
         for o, s in zip(track.sample_offsets, track.sample_sizes))
 
+    if len(video_data) + len(pcm_bytes) > 0xFFFFFFF0:
+        raise ValueError(
+            "mdat would exceed 4 GiB (32-bit box sizes/stco); split the "
+            "clip or mux with ffmpeg")
+
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200),
                 b"isom", b"iso2", b"mp41")
     mdat_off = len(ftyp)
@@ -366,6 +371,7 @@ def read_pcm_audio(path: str) -> Tuple[int, np.ndarray]:
 def has_pcm_audio(path: str) -> bool:
     try:
         track, _ = parse_track(path, b"soun")
-    except (ValueError, OSError):
+    except (ValueError, OSError, struct.error):
+        # struct.error: truncated/corrupt container mid-box
         return False
     return track.codec in _PCM_CODECS

@@ -13,6 +13,7 @@ identically on both ranks and its multi-process Orbax checkpoint restores
 import json
 import os
 import pathlib
+import shutil
 import socket
 import subprocess
 import sys
@@ -73,36 +74,46 @@ def test_two_process_dcn_training_and_checkpoint_reshard(tmp_path):
     jax.distributed init; both ranks must see identical pmean'd losses and
     the multi-process checkpoint must restore into this (single-process,
     8-device) session with resharding."""
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    def launch(ckpt_dir):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update({
+                "CALIPSYNC_COORDINATOR": f"localhost:{port}",
+                "CALIPSYNC_NUM_PROCESSES": "2",
+                "CALIPSYNC_PROCESS_ID": str(pid),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 str(REPO_ROOT / "tests" / "_multihost_worker.py"),
+                 str(ckpt_dir)],
+                env=env, cwd=str(REPO_ROOT), stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        results = {}
+        logs = {}
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=2700)
+            logs[pid] = out
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    results[pid] = json.loads(line[len("RESULT "):])
+        ok = (all(p.returncode == 0 for p in procs)
+              and set(results) == {0, 1})
+        return ok, results, logs
 
+    # One retry: on this 1-core host the jax.distributed coordinator
+    # barrier can time a worker out when the first attempt lands behind
+    # a cold compile (observed once in a full-suite run; passes alone).
     ckpt_dir = tmp_path / "ckpt"
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.update({
-            "CALIPSYNC_COORDINATOR": f"localhost:{port}",
-            "CALIPSYNC_NUM_PROCESSES": "2",
-            "CALIPSYNC_PROCESS_ID": str(pid),
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, str(REPO_ROOT / "tests" / "_multihost_worker.py"),
-             str(ckpt_dir)],
-            env=env, cwd=str(REPO_ROOT), stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-
-    results = {}
-    logs = {}
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=2700)
-        logs[pid] = out
-        for line in out.splitlines():
-            if line.startswith("RESULT "):
-                results[pid] = json.loads(line[len("RESULT "):])
-    assert all(p.returncode == 0 for p in procs), \
-        f"worker failed:\n{logs[0][-2000:]}\n---\n{logs[1][-2000:]}"
-    assert set(results) == {0, 1}, logs
+    ok, results, logs = launch(ckpt_dir)
+    if not ok:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        ok, results, logs = launch(ckpt_dir)
+    assert ok, (f"workers failed twice:\n{logs.get(0, '')[-2000:]}\n---\n"
+                f"{logs.get(1, '')[-2000:]}")
 
     # pmean crosses the process boundary: both ranks see the global loss
     np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
