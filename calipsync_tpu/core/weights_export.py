@@ -148,6 +148,36 @@ def export_generator(variables: Mapping, mode: str = "hubert",
     return out
 
 
+def export_syncnet(variables: Mapping, mode: str = "hubert"
+                   ) -> Dict[str, Array]:
+    """SyncNet flax variables -> reference SyncNet_color state_dict
+    (/root/reference/module/syncnet.py:110-246). Inverse of
+    nn.syncnet.import_syncnet; no bias folding (the reference's convs
+    keep their bias ahead of BN here)."""
+    from calipsync_tpu.nn.syncnet import _FACE_PLAN, _audio_plan
+
+    params, stats = variables["params"], variables["batch_stats"]
+    out: Dict[str, Array] = {}
+
+    def conv_bn(tp: str, p: Mapping, s: Mapping) -> None:
+        out[f"{tp}.conv_block.0.weight"] = _conv_kernel_t(
+            p["conv"]["kernel"])
+        out[f"{tp}.conv_block.0.bias"] = _np(p["conv"]["bias"])
+        out[f"{tp}.conv_block.1.weight"] = _np(p["bn"]["scale"])
+        out[f"{tp}.conv_block.1.bias"] = _np(p["bn"]["bias"])
+        out[f"{tp}.conv_block.1.running_mean"] = _np(s["bn"]["mean"])
+        out[f"{tp}.conv_block.1.running_var"] = _np(s["bn"]["var"])
+        out[f"{tp}.conv_block.1.num_batches_tracked"] = np.zeros((),
+                                                                 np.int64)
+
+    for i in range(len(_FACE_PLAN)):
+        conv_bn(f"face_encoder.{i}", params[f"face{i}"], stats[f"face{i}"])
+    for i in range(len(_audio_plan(mode))):
+        conv_bn(f"audio_encoder.{i}", params[f"audio{i}"],
+                stats[f"audio{i}"])
+    return out
+
+
 def save_torch_checkpoint(state_dict: Mapping[str, Array], path: str,
                           wrap: bool = False) -> str:
     """Write a .pth the reference loaders accept (torch required here).

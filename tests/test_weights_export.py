@@ -114,6 +114,49 @@ def test_cli_export_torch(tmp_path, capsys):
                                       err_msg=k)
 
 
+def test_syncnet_export_round_trip_and_strict_load(reference_modules,
+                                                   tmp_path):
+    """export_syncnet loads into the live reference SyncNet_color with
+    strict=True and round-trips through import_syncnet bit-exact."""
+    import torch
+
+    from calipsync_tpu.core.weights_export import export_syncnet
+    from calipsync_tpu.nn.syncnet import SyncNet, import_syncnet
+
+    model = SyncNet(mode="hubert")
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 160, 160, 3)),
+        jnp.zeros((1, 32, 32, 32)))
+    rng = np.random.default_rng(2)
+
+    def rand(path, leaf):
+        a = np.asarray(leaf, np.float32)
+        if path[-1].key == "var":
+            return jnp.asarray(rng.uniform(0.25, 1.75, a.shape)
+                               .astype(np.float32))
+        return jnp.asarray((rng.standard_normal(a.shape) * 0.1)
+                           .astype(np.float32))
+
+    variables = jax.tree_util.tree_map_with_path(rand, variables)
+    sd = export_syncnet(variables, mode="hubert")
+
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from module.syncnet import SyncNet_color
+
+    ref = SyncNet_color("hubert").eval()
+    ref.load_state_dict({k: torch.from_numpy(np.array(v))
+                         for k, v in sd.items()}, strict=True)
+
+    back = import_syncnet(sd, mode="hubert")
+    flat_a = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+
 def test_export_wrap_matches_reference_loader_convention(tmp_path):
     """wrap=True produces the {'state_dict': ...} wrapper that
     load_torch_state_dict (and the reference's image_infer_v1 loader,
