@@ -49,6 +49,19 @@ def resample(audio: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def _try_read_pcm(path: str):
+    """(rate, mono float32) from a PCM track, or None — one read+parse
+    (no separate has_pcm_audio probe), never raises on bad containers."""
+    import struct
+
+    from calipsync_tpu.media.mp4 import read_pcm_audio
+
+    try:
+        return read_pcm_audio(path)
+    except (ValueError, OSError, struct.error):
+        return None
+
+
 def load_audio(path: str, sample_rate: int = 16_000,
                channels: int = 1) -> np.ndarray:
     """Decode an audio file to float32 PCM at the given rate (mono).
@@ -62,10 +75,9 @@ def load_audio(path: str, sample_rate: int = 16_000,
         audio = _to_float_mono(data)
         return resample(audio, sr, sample_rate)
     if path.lower().endswith((".mp4", ".mov", ".m4a")):
-        from calipsync_tpu.media.mp4 import has_pcm_audio, read_pcm_audio
-
-        if has_pcm_audio(path):
-            sr, audio = read_pcm_audio(path)
+        pcm = _try_read_pcm(path)
+        if pcm is not None:
+            sr, audio = pcm
             return resample(audio, sr, sample_rate)
     if not have_ffmpeg():
         raise RuntimeError(
@@ -88,11 +100,10 @@ def extract_wav(video_path: str, wav_path: str,
     Native path first: videos carrying a PCM track (everything this
     package muxes without ffmpeg, media/mp4.py) decode via the box-level
     reader. Compressed audio (aac/mp3) needs an ffmpeg binary."""
-    from calipsync_tpu.media.mp4 import has_pcm_audio, read_pcm_audio
-
-    if video_path.lower().endswith((".mp4", ".mov")) \
-            and has_pcm_audio(video_path):
-        sr, audio = read_pcm_audio(video_path)
+    pcm = (_try_read_pcm(video_path)
+           if video_path.lower().endswith((".mp4", ".mov")) else None)
+    if pcm is not None:
+        sr, audio = pcm
         save_wav(wav_path, resample(audio, sr, sample_rate), sample_rate)
         return
     if not have_ffmpeg():
@@ -133,13 +144,15 @@ def mux_audio(video_path: str, audio_path: str, out_path: str,
                         "-i", audio_path, "-c:v", "copy", "-c:a",
                         audio_codec, "-shortest", out_path], check=True)
         return None
+    import struct
+
     audio = load_audio(audio_path, 24_000)
     try:
         from calipsync_tpu.media.mp4 import mux_pcm_audio
 
         mux_pcm_audio(video_path, audio, 24_000, out_path)
         return None
-    except ValueError:
+    except (ValueError, struct.error):  # struct.error: truncated mid-box
         shutil.copyfile(video_path, out_path)
         side_car = out_path + ".wav"
         save_wav(side_car, audio, 24_000)

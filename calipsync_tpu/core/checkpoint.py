@@ -104,7 +104,12 @@ class PreemptionGuard:
 
     def _handle(self, signum, frame):
         if self._triggered:  # second signal: escalate to the old handler
-            prev = self._prev.get(signum, self._signal.SIG_DFL)
+            prev = self._prev.get(signum)
+            if not callable(prev) and prev not in (
+                    self._signal.SIG_IGN, self._signal.SIG_DFL):
+                # None = previous handler was installed from C (not
+                # reinstallable via signal.signal) — default-terminate
+                prev = self._signal.SIG_DFL
             self._signal.signal(signum, prev)
             self._signal.raise_signal(signum)
             return

@@ -247,6 +247,12 @@ def _dinf() -> bytes:
 
 
 def _sowt_stsd(sample_rate: int, channels: int) -> bytes:
+    if not 0 < sample_rate < 65536:
+        # the v0 sound sample entry stores the rate as 16.16 fixed point;
+        # >=64 kHz would silently wrap (mdhd would still be right, but
+        # stsd-honoring players would mis-speed the track)
+        raise ValueError(f"sample_rate {sample_rate} needs a v1 sound "
+                         "sample entry; resample below 64 kHz")
     entry = _box(b"sowt", struct.pack(
         ">6xH"      # SampleEntry: reserved, data_reference_index
         "HH4x"      # version 0, revision, vendor

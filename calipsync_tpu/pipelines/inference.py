@@ -188,7 +188,10 @@ class VideoStreamManager:
         bs = self.synthesizer.batch_size
         # span: rows synthesized per call. Multiple of batch_size (keeps
         # the sequencer partition identical to one full-array call) and
-        # sized so slice + 2*margin fits one 256-row jit bucket.
+        # sized so slice + 2*margin fits one 256-row jit bucket. For
+        # batch_size > 240 the smallest legal span (= batch_size) already
+        # overflows into the 512-row bucket — one extra compile per
+        # process, deterministic thereafter.
         span = self.span_rows or bs * max(1, 240 // bs)
         writer = _FrameWriter(self.fps)
         cursor = 0  # absolute feature rows synthesized so far

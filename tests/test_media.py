@@ -139,6 +139,33 @@ def test_extract_wav_native_from_pcm_mp4(video_path, tmp_path, monkeypatch):
     np.testing.assert_allclose(loaded, audio, atol=1.5 / 32767)
 
 
+def test_mux_audio_side_car_fallback_on_corrupt_container(tmp_path,
+                                                          monkeypatch):
+    """A container that dies mid-box (struct.error, not just ValueError)
+    must still reach the documented wav side-car last resort."""
+    import struct as _struct
+
+    from calipsync_tpu.audio import io as aio
+    from scipy.io import wavfile
+
+    monkeypatch.setattr(aio, "have_ffmpeg", lambda: False)
+    bad = str(tmp_path / "truncated.mp4")
+    with open(bad, "wb") as f:  # size==1 promises a largesize that's cut
+        f.write(_struct.pack(">I4s", 1, b"ftyp") + b"\x00\x00")
+    wav = str(tmp_path / "a.wav")
+    wavfile.write(wav, 16_000, np.zeros(8_000, np.float32))
+    out = str(tmp_path / "out.mp4")
+    side_car = aio.mux_audio(bad, wav, out)
+    assert side_car == out + ".wav"
+    assert os.path.exists(side_car) and os.path.exists(out)
+
+
+def test_mux_rejects_unrepresentable_sample_rate(video_path, tmp_path):
+    with pytest.raises(ValueError, match="64 kHz"):
+        mux_pcm_audio(video_path, np.zeros(1000, np.float32), 96_000,
+                      str(tmp_path / "x.mp4"))
+
+
 def test_video_only_input_raises_without_ffmpeg(video_path, monkeypatch):
     from calipsync_tpu.audio import io as aio
 
