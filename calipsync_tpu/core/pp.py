@@ -1,0 +1,157 @@
+"""Pipeline-parallel HuBERT encoder over a named mesh axis (GPipe).
+
+HuBERT-large's 24 transformer layers hold >90% of its 315M parameters;
+the reference runs the whole model on one GPU
+(/root/reference/utils/hubert_extractor.py:5-11). Tensor parallelism
+(core/tp.py) shards each layer's matmuls; pipeline parallelism instead
+shards LAYERS: over a named ``model`` mesh axis of size S, stage ``s``
+holds layers ``[s*L/S, (s+1)*L/S)`` and activations hop stage→stage over
+ICI with ``ppermute`` on a GPipe microbatch schedule. PP trades TP's two
+all-reduces per layer for one neighbour hop per stage — the right choice
+when the batch is deep enough to amortise the ``S-1`` bubble ticks and
+the interconnect is point-to-point-cheap (ICI rings).
+
+TPU-native shape: the WHOLE schedule — ``M + S - 1`` pipeline ticks,
+each running that stage's local ``lax.scan`` over its layer slice — is
+one jitted XLA program (a ``lax.scan`` inside ``shard_map``); no
+per-tick host round trips, static shapes throughout. The layer stack is
+stored as one stacked ``(L, ...)`` pytree whose leading axis is sharded
+over the mesh, so each chip materialises only its own ``L/S`` layers.
+
+Exactness: microbatching is over the batch axis only and every
+microbatch runs the same layers in the same order, so the result equals
+the sequential encoder bit-for-bit modulo fp reassociation (parity is
+asserted at fp32 tolerances in tests/test_pp.py, both norm modes, with
+and without bucket-pad masking).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import Mesh, PartitionSpec as P
+
+from calipsync_tpu.nn.hubert import (ConvFeatureExtractor, EncoderLayer,
+                                     FeatureProjection, HubertConfig,
+                                     PositionalConvEmbedding)
+
+
+def stack_encoder_layers(variables: dict) -> dict:
+    """Stack the encoder's per-layer param subtrees into one (L, ...) pytree.
+
+    The ``layers_i`` subtrees of ``nn/hubert.py``'s encoder are
+    structurally identical; stacking gives every leaf a leading layer
+    axis that a mesh can shard (PP here; the same layout serves a
+    scanned/remat encoder).
+    """
+    enc = variables["params"]["encoder"]
+    n = sum(1 for k in enc if k.startswith("layers_"))
+    layers = [enc[f"layers_{i}"] for i in range(n)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
+                    mesh: Mesh, axis: str = "model",
+                    num_microbatches: Optional[int] = None,
+                    num_valid_frames: Optional[jax.Array] = None,
+                    dtype: Optional[Any] = None) -> jax.Array:
+    """HuBERT forward with the encoder layer stack pipelined over ``axis``.
+
+    Matches ``HubertModel.apply`` (nn/hubert.py:246-273) including the
+    bucket-padded masking contract. The conv frontend, feature
+    projection, positional conv and final norm stay replicated (they are
+    <10% of parameters and run once per clip).
+
+    Args:
+      config: HubertConfig; ``num_hidden_layers`` must divide evenly
+        into ``mesh.shape[axis]`` stages.
+      variables: flax variables from ``HubertModel.init`` /
+        ``import_hubert``.
+      wav: (B, num_samples) normalized waveform; B must divide into
+        ``num_microbatches``.
+      num_microbatches: GPipe microbatch count M (default: one per
+        stage). Bubble fraction is (S-1)/(M+S-1).
+      num_valid_frames: optional (B,) true-frame counts, same semantics
+        as ``HubertModel.__call__``.
+    """
+    S = mesh.shape[axis]
+    p = variables["params"]
+    enc = p["encoder"]
+    L = sum(1 for k in enc if k.startswith("layers_"))
+    if L % S:
+        raise ValueError(f"{L} layers not divisible by {S} stages")
+    M = int(num_microbatches or S)
+    B = wav.shape[0]
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+
+    # Replicated frontend (mirrors HubertModel.__call__ order).
+    x = ConvFeatureExtractor(config, dtype).apply(
+        {"params": p["feature_extractor"]}, wav)
+    x = FeatureProjection(config, dtype).apply(
+        {"params": p["feature_projection"]}, x)
+    key_mask = None
+    if num_valid_frames is not None:
+        frames = x.shape[1]
+        key_mask = (jnp.arange(frames)[None, :]
+                    < num_valid_frames[:, None])
+        x = jnp.where(key_mask[..., None], x, 0.0)
+    x = x + PositionalConvEmbedding(config, dtype).apply(
+        {"params": enc["pos_conv_embed"]}, x)
+    ln = nn.LayerNorm(epsilon=config.layer_norm_eps, dtype=dtype)
+    if not config.do_stable_layer_norm:
+        x = ln.apply({"params": enc["layer_norm"]}, x)
+
+    stacked = stack_encoder_layers(variables)  # (L, ...) leaves
+    mb = x.reshape(M, B // M, *x.shape[1:])
+    mb_mask = (None if key_mask is None
+               else key_mask.reshape(M, B // M, key_mask.shape[1]))
+    layer = EncoderLayer(config, dtype)
+
+    def run_stage(local_layers, h, km):
+        def body(h, lp):
+            return layer.apply({"params": lp}, h, km), None
+        h, _ = jax.lax.scan(body, h, local_layers)
+        return h
+
+    fwd = [(i, i + 1) for i in range(S - 1)]
+
+    def pipelined(local_layers, mb, mb_mask):
+        # local_layers: this stage's (L/S, ...) slice; mb (+ mask)
+        # replicated. GPipe: stage s processes microbatch m at tick
+        # m + s; ticks t = 0..M+S-2.
+        sidx = jax.lax.axis_index(axis)
+
+        def tick(h, t):
+            inject = jax.lax.dynamic_index_in_dim(
+                mb, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
+            h_in = jnp.where(sidx == 0, inject, h)
+            # The activation arrived by ppermute; its mask is
+            # recomputed from the microbatch id this stage holds now.
+            km = None
+            if mb_mask is not None:
+                km = jax.lax.dynamic_index_in_dim(
+                    mb_mask, jnp.clip(t - sidx, 0, M - 1), axis=0,
+                    keepdims=False)
+            h_out = run_stage(local_layers, h_in, km)
+            return jax.lax.ppermute(h_out, axis, fwd), h_out
+
+        _, outs = jax.lax.scan(tick, jnp.zeros_like(mb[0]),
+                               jnp.arange(M + S - 1))
+        # Stage S-1 emitted microbatch m at tick m + S - 1; psum of the
+        # masked buffer replicates the result to every stage.
+        valid = jax.lax.dynamic_slice_in_dim(outs, S - 1, M, axis=0)
+        valid = jnp.where(sidx == S - 1, valid, 0)
+        return jax.lax.psum(valid, axis)
+
+    in_specs = (P(axis), P(), P())
+    out = jax.shard_map(pipelined, mesh=mesh, in_specs=in_specs,
+                        out_specs=P(), check_vma=False)(
+        stacked, mb, mb_mask)
+    x = out.reshape(B, *x.shape[1:])
+    if config.do_stable_layer_norm:
+        x = ln.apply({"params": enc["layer_norm"]}, x)
+    return x

@@ -1,0 +1,108 @@
+"""Pipeline-parallel HuBERT encoder (core/pp.py) vs the sequential model.
+
+GPipe over a 4-stage mesh must match ``HubertModel.apply`` exactly
+(same layers, same order, microbatching only re-tiles the batch axis):
+asserted at fp32 tolerances for both encoder norm modes and for the
+bucket-padded masking contract of nn/hubert.py:246-273.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from calipsync_tpu.core.pp import hubert_pp_apply, stack_encoder_layers
+from calipsync_tpu.nn.hubert import HubertConfig, HubertModel
+
+
+def tiny_config(stable: bool) -> HubertConfig:
+    return HubertConfig(hidden_size=32, num_hidden_layers=4,
+                        num_attention_heads=4, intermediate_size=64,
+                        conv_dim=(16, 16), conv_kernel=(10, 3),
+                        conv_stride=(5, 2),
+                        feat_extract_norm="layer" if stable else "group",
+                        do_stable_layer_norm=stable)
+
+
+def make_mesh(n: int, axis: str = "model") -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:n]), (axis,))
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_pp_matches_sequential(stable):
+    cfg = tiny_config(stable)
+    model = HubertModel(cfg)
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (8, 800)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), wav[:1])
+
+    want = jax.jit(model.apply)(variables, wav)
+    mesh = make_mesh(4)
+    got = jax.jit(lambda v, w: hubert_pp_apply(
+        cfg, v, w, mesh, num_microbatches=4))(variables, wav)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pp_masked_matches_sequential():
+    """Bucket-padded masking travels with the microbatch schedule."""
+    cfg = tiny_config(True)
+    model = HubertModel(cfg)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((8, 800)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), wav[:1])
+    nvalid = jnp.asarray(rng.integers(20, 79, size=(8,)), jnp.int32)
+
+    want = jax.jit(model.apply)(variables, wav, nvalid)
+    mesh = make_mesh(4)
+    got = jax.jit(lambda v, w, n: hubert_pp_apply(
+        cfg, v, w, mesh, num_microbatches=4, num_valid_frames=n))(
+        variables, wav, nvalid)
+
+    # Only real frames are contractual (pad rows are trimmed by callers,
+    # nn/hubert.py:249-254).
+    want_np, got_np = np.asarray(want), np.asarray(got)
+    for b, n in enumerate(np.asarray(nvalid)):
+        np.testing.assert_allclose(got_np[b, :n], want_np[b, :n],
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_pp_more_microbatches_than_stages():
+    """M > S exercises the steady-state pipeline (smaller bubble)."""
+    cfg = tiny_config(True)
+    model = HubertModel(cfg)
+    wav = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (8, 800)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), wav[:1])
+
+    want = jax.jit(model.apply)(variables, wav)
+    mesh = make_mesh(2)
+    got = jax.jit(lambda v, w: hubert_pp_apply(
+        cfg, v, w, mesh, num_microbatches=8))(variables, wav)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_stacked_layers_shape():
+    cfg = tiny_config(True)
+    model = HubertModel(cfg)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 800)))
+    stacked = stack_encoder_layers(variables)
+    kern = stacked["attention"]["q_proj"]["kernel"]
+    assert kern.shape[0] == cfg.num_hidden_layers
+
+
+def test_pp_validates_divisibility():
+    cfg = tiny_config(True)
+    model = HubertModel(cfg)
+    wav = jnp.zeros((8, 800))
+    variables = jax.jit(model.init)(jax.random.key(0), wav[:1])
+    with pytest.raises(ValueError, match="not divisible"):
+        hubert_pp_apply(cfg, variables, wav, make_mesh(3))
+    with pytest.raises(ValueError, match="microbatches"):
+        hubert_pp_apply(cfg, variables, wav, make_mesh(4),
+                        num_microbatches=3)
