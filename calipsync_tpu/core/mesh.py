@@ -50,8 +50,15 @@ def maybe_initialize_distributed(
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception:
         pass
+    kwargs = {}
+    # Join window for all processes to reach initialize (jax default
+    # 300 s). On a contended single-core host (full test suite) worker
+    # imports alone can straddle that, so the 2-process test raises it.
+    timeout_s = os.environ.get("CALIPSYNC_DIST_TIMEOUT_S")
+    if timeout_s:
+        kwargs["initialization_timeout"] = int(timeout_s)
     jax.distributed.initialize(coordinator, num_processes=nproc,
-                               process_id=pid)
+                               process_id=pid, **kwargs)
     return True
 
 

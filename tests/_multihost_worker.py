@@ -109,6 +109,12 @@ def main():
         lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p)),
         out_shardings=rep)(state.params))
 
+    # Orbax's first sync_global_devices allgathers through a FRESH Gloo
+    # context whose KV rendezvous times out at 30 s; re-align the ranks
+    # here so checksum-fetch skew (observed >30 s when external processes
+    # starve one rank on this 1-core host) can't straddle that window.
+    global_state.client.wait_at_barrier("worker_pre_save",
+                                        timeout_in_ms=2_400_000)
     save_checkpoint(ckpt_dir, 3, {"params": state.params,
                                   "step": state.step})
 

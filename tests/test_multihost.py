@@ -85,6 +85,9 @@ def test_two_process_dcn_training_and_checkpoint_reshard(tmp_path):
                 "CALIPSYNC_COORDINATOR": f"localhost:{port}",
                 "CALIPSYNC_NUM_PROCESSES": "2",
                 "CALIPSYNC_PROCESS_ID": str(pid),
+                # full-suite contention can hold one worker's imports
+                # past jax.distributed's default 300 s join window
+                "CALIPSYNC_DIST_TIMEOUT_S": "1800",
             })
             procs.append(subprocess.Popen(
                 [sys.executable,
@@ -112,8 +115,8 @@ def test_two_process_dcn_training_and_checkpoint_reshard(tmp_path):
     if not ok:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         ok, results, logs = launch(ckpt_dir)
-    assert ok, (f"workers failed twice:\n{logs.get(0, '')[-2000:]}\n---\n"
-                f"{logs.get(1, '')[-2000:]}")
+    assert ok, (f"workers failed twice:\n{logs.get(0, '')[-6000:]}\n---\n"
+                f"{logs.get(1, '')[-6000:]}")
 
     # pmean crosses the process boundary: both ranks see the global loss
     np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
