@@ -107,9 +107,17 @@ def cmd_step1(args):
 
 
 def cmd_train(args):
+    import dataclasses
+
     from calipsync_tpu.pipelines.step2_train import train_digital_model
 
     cfg = _load_cfg(args)
+    scale = {k: v for k, v in (("grad_accum", args.grad_accum),
+                               ("remat", args.remat),
+                               ("zero1", args.zero1)) if v is not None}
+    if scale:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **scale))
     path = train_digital_model(args.data, args.save, vgg_path=args.vgg,
                                unet_checkpoint=args.base, cfg=cfg,
                                resume=args.resume)
@@ -474,6 +482,15 @@ def main(argv=None):
     sp.add_argument("--vgg", default=None)
     sp.add_argument("--base", default=None, help="warm-start checkpoint")
     sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--grad-accum", type=int, default=None,
+                    help="microbatches per optimizer update (lax.scan "
+                         "fwd/bwd, ONE Adam step)")
+    sp.add_argument("--remat", action="store_true", default=None,
+                    help="recompute generator activations in the "
+                         "backward pass (jax.checkpoint)")
+    sp.add_argument("--zero1", action="store_true", default=None,
+                    help="ZeRO-1: shard Adam moments 1/D per rank "
+                         "(reduce_scatter grads, all_gather params)")
     common(sp)
     sp.set_defaults(fn=cmd_train)
 

@@ -79,6 +79,24 @@ class TrainConfig:
     # SIGTERM with a grace window; set False when the caller owns the
     # process's signal handling.
     preemption_safe: bool = True
+    # Microbatches per optimizer update (grad accumulation): the
+    # per-shard batch splits into this many sequential fwd/bwd passes
+    # (lax.scan), grads average, ONE Adam update — grows the effective
+    # batch without growing activation memory. BN batch statistics are
+    # per-microbatch (same semantics as torch grad accumulation).
+    grad_accum: int = 1
+    # Rematerialize generator activations in the backward pass
+    # (jax.checkpoint around the UNet apply): ~1 extra forward of FLOPs
+    # for an activation-memory floor. Numerically identical to the
+    # stored-activation step.
+    remat: bool = False
+    # ZeRO-1 optimizer-state sharding: each data-parallel rank keeps
+    # 1/D of the Adam moments; grads arrive via psum_scatter
+    # (reduce_scatter over ICI), the shard updates locally, updated
+    # param shards all_gather back. Same update math as the pmean path
+    # (tests assert equality); optimizer HBM drops 2P -> 2P/D. Requires
+    # create_zero1_state (trainer.py) instead of create_train_state.
+    zero1: bool = False
 
 
 @dataclass(frozen=True)

@@ -27,9 +27,11 @@ from calipsync_tpu.data.dataset import (LipSyncDataset, Prefetcher,
 from calipsync_tpu.nn.vgg import VGG19Features, import_vgg19_features
 from calipsync_tpu.train.trainer import (adam, build_model,
                                          create_train_state,
+                                         create_zero1_state,
                                          make_resident_multi_step,
                                          make_resident_train_step,
-                                         make_train_step)
+                                         make_train_step,
+                                         zero1_state_sharding)
 
 
 def load_vgg_variables(vgg_path: Optional[str]):
@@ -85,8 +87,16 @@ def _train_impl(dataset_dir: str, save_dir: str,
         init_variables = import_generator(
             load_torch_state_dict(unet_checkpoint), mode=cfg.model.mode,
             n_blocks=cfg.model.n_blocks)
-    state = create_train_state(model, tx, jax.random.key(cfg.train.seed),
-                               init_variables)
+    if cfg.train.zero1:
+        # ZeRO-1: Adam moments live as 1/D shards per rank (trainer.py)
+        state = create_zero1_state(model, tx,
+                                   jax.random.key(cfg.train.seed), mesh,
+                                   axis_name=axes,
+                                   init_variables=init_variables)
+    else:
+        state = create_train_state(model, tx,
+                                   jax.random.key(cfg.train.seed),
+                                   init_variables)
     start_epoch = 0
     if resume and ckpt.latest_step(save_dir) is not None:
         start_epoch = ckpt.latest_step(save_dir)  # checkpoints keyed by epoch
@@ -128,7 +138,11 @@ def _train_impl(dataset_dir: str, save_dir: str,
                                   axis_name=axes)
         ds = LipSyncDataset(dataset_dir, cfg.model.mode, cfg.crop)
     feats_dev = replicate(jnp.asarray(ds.audio_feats), mesh)
-    state = replicate(state, mesh)
+    if cfg.train.zero1:
+        state = jax.device_put(state,
+                               zero1_state_sharding(state, mesh, axes))
+    else:
+        state = replicate(state, mesh)
     vgg_variables = replicate(vgg_variables, mesh)
 
     rng = np.random.default_rng(cfg.train.seed)

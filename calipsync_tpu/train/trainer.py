@@ -13,17 +13,39 @@ Replaces the reference's single-GPU torch loop
   - uint8 crops are normalized to [0,1] on device; audio windows are
     gathered on device from the resident feature array.
   - Adam with torch defaults (b1=0.9, b2=0.999, eps=1e-8), lr 1e-3.
+
+Scale options (TrainConfig; none exist in the reference — they are the
+standard TPU levers for batch/state beyond one chip's HBM, all proven
+equal to the plain step in tests/test_train_scale.py):
+
+  - ``grad_accum``: M microbatches per optimizer update — a ``lax.scan``
+    of fwd/bwd passes with carried BN state, grads averaged, ONE update.
+    Activation memory is that of a single microbatch.
+  - ``remat``: ``jax.checkpoint`` around the UNet apply — the backward
+    pass recomputes activations instead of storing them (~1 extra
+    forward of FLOPs for the activation-memory floor). Numerically
+    identical.
+  - ``zero1``: ZeRO stage-1 optimizer-state sharding. Grads arrive via
+    ``psum_scatter`` (reduce_scatter over ICI), each rank Adam-updates
+    its 1/D param shard, updated shards ``all_gather`` back. Same bytes
+    on the wire as the pmean all-reduce (reduce-scatter + all-gather IS
+    an all-reduce), optimizer HBM drops 2P -> 2P/D. Requires
+    :func:`create_zero1_state` + :func:`zero1_state_sharding` and an
+    elementwise optimizer (Adam/SGD family: state leaves param-shaped
+    or scalar).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from calipsync_tpu.audio.windows import batched_windows
 from calipsync_tpu.config import ModelConfig, TrainConfig
@@ -40,6 +62,24 @@ class TrainState(struct.PyTreeNode):
 
 def _dtype_of(cfg: ModelConfig):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.dtype]
+
+
+def _axes_tuple(axis_name) -> tuple:
+    return (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+
+
+def _axes_size(mesh: Mesh, axes: tuple) -> int:
+    return math.prod(mesh.shape[a] for a in axes)
+
+
+def _scan_unroll() -> bool:
+    """XLA:CPU's thunk runtime deadlocks on a collective (psum/pmean)
+    inside a while-loop body — the single intra-op worker blocks in the
+    rendezvous (observed on the 8-virtual-device test mesh). Device
+    loops that may contain collectives (sync-BN inside the grad_accum
+    scan, the multi-step scan) therefore unroll on CPU; TPU compiles
+    the loop body once and is unaffected."""
+    return jax.default_backend() == "cpu"
 
 
 def build_model(model_cfg: ModelConfig, axis_name: Optional[str]) -> Generator:
@@ -64,6 +104,186 @@ def create_train_state(model: Generator, tx: optax.GradientTransformation,
                       opt_state=tx.init(params))
 
 
+def create_zero1_state(model: Generator, tx: optax.GradientTransformation,
+                       rng: jax.Array, mesh: Mesh, axis_name="data",
+                       init_variables: Optional[dict] = None) -> TrainState:
+    """TrainState whose optimizer state is ZeRO-1 sharded.
+
+    Moment leaves are stacked ``(D, ceil(P/D))`` blocks over the
+    flattened param vector — rank i owns block i. Place on the mesh
+    with :func:`zero1_state_sharding` (NOT ``replicate``) and pair with
+    a step built from a ``TrainConfig(zero1=True)``. The optimizer must
+    be elementwise (its ``init`` is called on a flat shard, not the
+    param pytree)."""
+    base = create_train_state(model, tx, rng, init_variables)
+    axes = _axes_tuple(axis_name)
+    d = _axes_size(mesh, axes)
+    flat, _ = ravel_pytree(base.params)
+    shard = -(-flat.shape[0] // d)
+    opt_shard = tx.init(jnp.zeros((shard,), flat.dtype))
+    opt_state = jax.tree.map(
+        lambda l: jnp.tile(l[None], (d,) + (1,) * l.ndim)
+        if getattr(l, "ndim", 0) >= 1 else l,
+        opt_shard)
+    return base.replace(opt_state=opt_state)
+
+
+def zero1_state_sharding(state: TrainState, mesh: Mesh,
+                         axis_name="data") -> TrainState:
+    """NamedShardings to ``jax.device_put`` a :func:`create_zero1_state`
+    result: stacked moment leaves shard their leading dim over the mesh
+    axes, everything else replicates."""
+    axes = _axes_tuple(axis_name)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axes))
+    return TrainState(
+        step=rep,
+        params=jax.tree.map(lambda _: rep, state.params),
+        batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+        opt_state=jax.tree.map(
+            lambda l: shd if getattr(l, "ndim", 0) >= 1 else rep,
+            state.opt_state))
+
+
+def _state_spec(tx: optax.GradientTransformation, train_cfg: TrainConfig,
+                axes: tuple):
+    """shard_map spec-prefix for TrainState: everything replicated
+    except, under ZeRO-1, the stacked (D, shard) optimizer leaves."""
+    if not train_cfg.zero1:
+        return P()
+    opt_shapes = jax.eval_shape(tx.init,
+                                jax.ShapeDtypeStruct((1,), jnp.float32))
+    opt_spec = jax.tree.map(lambda l: P(axes) if l.ndim >= 1 else P(),
+                            opt_shapes)
+    return TrainState(step=P(), params=P(), batch_stats=P(),
+                      opt_state=opt_spec)
+
+
+def _make_grad_fn(model: Generator, train_cfg: TrainConfig,
+                  use_perceptual: bool, compute_dtype):
+    """value_and_grad of the generator loss for one microbatch. With
+    ``train_cfg.remat`` the UNet apply is wrapped in ``jax.checkpoint``
+    so the backward pass recomputes its activations (the VGG loss trunk
+    stays stored — the UNet dominates activation memory)."""
+    def apply_fn(params, stats, im, au):
+        return model.apply({"params": params, "batch_stats": stats},
+                           im, au, train=True, mutable=["batch_stats"])
+
+    if train_cfg.remat:
+        apply_fn = jax.checkpoint(apply_fn)
+
+    def loss_fn(params, stats, im, lb, au, vgg_variables):
+        pred, updates = apply_fn(params, stats, im, au)
+        total, metrics = generator_loss(
+            pred, lb, vgg_variables if use_perceptual else None,
+            perceptual_weight=train_cfg.perceptual_weight,
+            dtype=compute_dtype)
+        return total, (updates["batch_stats"], metrics)
+
+    return jax.value_and_grad(loss_fn, has_aux=True)
+
+
+def _local_grads(grad_fn, accum: int, unroll: bool, params, stats,
+                 imgs, labels, audio, vgg_variables):
+    """Per-shard (grads, new_batch_stats, metrics).
+
+    ``accum > 1`` scans fwd/bwd over microbatches with carried BN state
+    and averages grads+metrics — ONE optimizer update per call with the
+    activation memory of a single microbatch. BN batch statistics are
+    per-microbatch (torch grad accumulation behaves the same way)."""
+    if accum == 1:
+        (_, (stats, metrics)), grads = grad_fn(params, stats, imgs, labels,
+                                               audio, vgg_variables)
+        return grads, stats, metrics
+    if imgs.shape[0] % accum:
+        raise ValueError(f"per-shard batch {imgs.shape[0]} is not "
+                         f"divisible by grad_accum={accum}")
+
+    def split(x):
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+    ims, lbs, aus = split(imgs), split(labels), split(audio)
+    (_, (stats, metrics)), grads = grad_fn(params, stats, ims[0], lbs[0],
+                                           aus[0], vgg_variables)
+
+    if unroll:
+        # Straight-line Python loop, NOT lax.scan(unroll=True): scan
+        # over a length-1 xs (accum=2) still emits a while loop even
+        # fully unrolled, and a while body holding the sync-BN
+        # collectives deadlocks XLA:CPU's thunk runtime (_scan_unroll).
+        for i in range(1, accum):
+            (_, (stats, m)), g = grad_fn(params, stats, ims[i], lbs[i],
+                                         aus[i], vgg_variables)
+            grads = jax.tree.map(jnp.add, grads, g)
+            metrics = jax.tree.map(jnp.add, metrics, m)
+    else:
+        def body(carry, xs):
+            st, gs, ms = carry
+            im, lb, au = xs
+            (_, (st, m)), g = grad_fn(params, st, im, lb, au,
+                                      vgg_variables)
+            return (st, jax.tree.map(jnp.add, gs, g),
+                    jax.tree.map(jnp.add, ms, m)), None
+
+        (stats, grads, metrics), _ = jax.lax.scan(
+            body, (stats, grads, metrics), (ims[1:], lbs[1:], aus[1:]))
+    inv = 1.0 / accum
+    return (jax.tree.map(lambda g: g * inv, grads), stats,
+            jax.tree.map(lambda m: m * inv, metrics))
+
+
+def _make_update_fn(tx: optax.GradientTransformation, mesh: Mesh,
+                    train_cfg: TrainConfig, axes: tuple):
+    """The optimizer half of a shard step: (state, local grads, stats,
+    metrics) -> (new state, pmean'd metrics). Either the pmean path
+    (replicated optimizer) or ZeRO-1 (reduce-scattered grads, local
+    1/D shard update, param shards all-gathered back)."""
+    if not train_cfg.zero1:
+        def update(state, grads, new_stats, metrics):
+            grads = jax.lax.pmean(grads, axes)
+            metrics = jax.lax.pmean(metrics, axes)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=new_params,
+                                 batch_stats=new_stats,
+                                 opt_state=new_opt), metrics
+
+        return update
+
+    d = _axes_size(mesh, axes)
+
+    def update(state, grads, new_stats, metrics):
+        metrics = jax.lax.pmean(metrics, axes)
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(state.params)
+        n = flat_g.shape[0]
+        shard = -(-n // d)
+        pad = d * shard - n
+        # mean grads, but only my 1/D shard of them (reduce_scatter);
+        # padded tail elements carry zero grads -> zero updates.
+        gshard = jax.lax.psum_scatter(jnp.pad(flat_g, (0, pad)), axes,
+                                      scatter_dimension=0, tiled=True) / d
+        idx = jax.lax.axis_index(axes)
+        pshard = jax.lax.dynamic_slice(jnp.pad(flat_p, (0, pad)),
+                                       (idx * shard,), (shard,))
+        opt_local = jax.tree.map(
+            lambda l: l[0] if getattr(l, "ndim", 0) >= 1 else l,
+            state.opt_state)
+        updates, new_opt = tx.update(gshard, opt_local, pshard)
+        new_pshard = optax.apply_updates(pshard, updates)
+        flat_new = jax.lax.all_gather(new_pshard, axes, tiled=True)
+        new_params = unravel(flat_new[:n])
+        new_opt = jax.tree.map(
+            lambda l: l[None] if getattr(l, "ndim", 0) >= 1 else l,
+            new_opt)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_stats,
+                             opt_state=new_opt), metrics
+
+    return update
+
+
 def make_train_step(model: Generator, tx: optax.GradientTransformation,
                     mesh: Mesh, train_cfg: TrainConfig,
                     use_perceptual: bool = True,
@@ -86,9 +306,18 @@ def make_train_step(model: Generator, tx: optax.GradientTransformation,
 
     VGG weights are an explicit argument (not a closure) so they are jit
     inputs rather than HLO constants — keeps compile fast and cacheable.
+
+    ``train_cfg.grad_accum / remat / zero1`` select the scale options
+    (module docstring); with ``zero1`` the state must come from
+    :func:`create_zero1_state` placed by :func:`zero1_state_sharding`,
+    and with ``grad_accum`` the per-shard batch must divide by it.
     """
-    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    axes = _axes_tuple(axis_name)
     compute_dtype = model.dtype or jnp.float32
+    grad_fn = _make_grad_fn(model, train_cfg, use_perceptual, compute_dtype)
+    update_fn = _make_update_fn(tx, mesh, train_cfg, axes)
+    accum = train_cfg.grad_accum
+    unroll = _scan_unroll()
 
     def shard_step(state: TrainState, batch: dict, audio_feats: jax.Array,
                    vgg_variables):
@@ -97,33 +326,18 @@ def make_train_step(model: Generator, tx: optax.GradientTransformation,
         labels = batch["target"].astype(jnp.float32) / 255.0
         audio = batched_windows(audio_feats, batch["index"],
                                 mode=model.mode).astype(compute_dtype)
-
-        def loss_fn(params):
-            pred, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs, audio, train=True, mutable=["batch_stats"])
-            total, metrics = generator_loss(
-                pred, labels, vgg_variables if use_perceptual else None,
-                perceptual_weight=train_cfg.perceptual_weight,
-                dtype=compute_dtype)
-            return total, (updates["batch_stats"], metrics)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (new_stats, metrics)), grads = grad_fn(state.params)
-        grads = jax.lax.pmean(grads, axes)
-        metrics = jax.lax.pmean(metrics, axes)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
-        return new_state, metrics
+        grads, new_stats, metrics = _local_grads(
+            grad_fn, accum, unroll, state.params, state.batch_stats,
+            imgs, labels, audio, vgg_variables)
+        return update_fn(state, grads, new_stats, metrics)
 
     batch_spec = {"ref": P(axes), "masked": P(axes),
                   "target": P(axes), "index": P(axes)}
+    state_spec = _state_spec(tx, train_cfg, axes)
     mapped = jax.shard_map(
         shard_step, mesh=mesh,
-        in_specs=(P(), batch_spec, P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(state_spec, batch_spec, P(), P()),
+        out_specs=(state_spec, P()),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -143,29 +357,34 @@ def make_resident_train_step(model: Generator,
     Returns fn(state, store (N, S) uint8 [replicated], idx (B,),
     fidx (B,), ex (B,), audio_feats, vgg_variables) -> (state, metrics),
     numerically identical to the host-batch step for the same indices
-    (tests/test_train_step.py).
+    (tests/test_train_step.py). The same TrainConfig scale options apply
+    (tests/test_train_scale.py covers resident ZeRO-1).
     """
-    shard_step = _resident_shard_step(model, tx, train_cfg, crop,
+    shard_step = _resident_shard_step(model, tx, mesh, train_cfg, crop,
                                       use_perceptual, axis_name)
-    axes = ((axis_name,) if isinstance(axis_name, str)
-            else tuple(axis_name))
+    axes = _axes_tuple(axis_name)
+    state_spec = _state_spec(tx, train_cfg, axes)
 
     mapped = jax.shard_map(
         shard_step, mesh=mesh,
-        in_specs=(P(), P(), P(axes), P(axes), P(axes), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(state_spec, P(), P(axes), P(axes), P(axes), P(), P()),
+        out_specs=(state_spec, P()),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,))
 
 
-def _resident_shard_step(model, tx, train_cfg, crop, use_perceptual,
+def _resident_shard_step(model, tx, mesh, train_cfg, crop, use_perceptual,
                          axis_name):
     """Per-shard resident step body (runs inside shard_map)."""
     from calipsync_tpu.config import CropConfig
 
     crop = crop or CropConfig()
-    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    axes = _axes_tuple(axis_name)
     compute_dtype = model.dtype or jnp.float32
+    grad_fn = _make_grad_fn(model, train_cfg, use_perceptual, compute_dtype)
+    update_fn = _make_update_fn(tx, mesh, train_cfg, axes)
+    accum = train_cfg.grad_accum
+    unroll = _scan_unroll()
     y0, y1 = crop.mask_y, crop.mask_y + crop.mask_h
     x0, x1 = crop.mask_x, crop.mask_x + crop.mask_w
     size = crop.size
@@ -182,26 +401,10 @@ def _resident_shard_step(model, tx, train_cfg, crop, use_perceptual,
         labels = real_u8.astype(jnp.float32) / 255.0
         audio = batched_windows(audio_feats, idx,
                                 mode=model.mode).astype(compute_dtype)
-
-        def loss_fn(params):
-            pred, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs, audio, train=True, mutable=["batch_stats"])
-            total, metrics = generator_loss(
-                pred, labels, vgg_variables if use_perceptual else None,
-                perceptual_weight=train_cfg.perceptual_weight,
-                dtype=compute_dtype)
-            return total, (updates["batch_stats"], metrics)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (new_stats, metrics)), grads = grad_fn(state.params)
-        grads = jax.lax.pmean(grads, axes)
-        metrics = jax.lax.pmean(metrics, axes)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
-        return new_state, metrics
+        grads, new_stats, metrics = _local_grads(
+            grad_fn, accum, unroll, state.params, state.batch_stats,
+            imgs, labels, audio, vgg_variables)
+        return update_fn(state, grads, new_stats, metrics)
 
     return shard_step
 
@@ -237,33 +440,41 @@ def make_resident_multi_step(model: Generator,
 
     ``unroll``: True emits K straight-line copies of the step instead of
     a device loop. Default (None) picks by backend: loop on TPU,
-    unrolled on CPU — XLA:CPU's thunk runtime deadlocks on a collective
-    (psum/pmean) inside a while-loop body (the single intra-op worker
-    blocks in the rendezvous; observed on the 8-virtual-device test
-    mesh), so the CPU path must be loop-free. TPU compiles the loop body
-    once and is unaffected.
+    unrolled on CPU (see :func:`_scan_unroll`).
     """
-    shard_step = _resident_shard_step(model, tx, train_cfg, crop,
+    shard_step = _resident_shard_step(model, tx, mesh, train_cfg, crop,
                                       use_perceptual, axis_name)
-    axes = ((axis_name,) if isinstance(axis_name, str)
-            else tuple(axis_name))
+    axes = _axes_tuple(axis_name)
+    state_spec = _state_spec(tx, train_cfg, axes)
     if unroll is None:
-        unroll = jax.default_backend() == "cpu"
+        unroll = _scan_unroll()
 
     def shard_many(state: TrainState, store, idx, fidx, ex, audio_feats,
                    vgg_variables):
+        if unroll:
+            # Python loop, not lax.scan(unroll=True): a length-1 scan
+            # still emits a while loop even "fully unrolled", and a
+            # while body holding collectives deadlocks XLA:CPU's thunk
+            # runtime (_scan_unroll).
+            ms = []
+            for i in range(idx.shape[0]):
+                state, m = shard_step(state, store, idx[i], fidx[i],
+                                      ex[i], audio_feats, vgg_variables)
+                ms.append(m)
+            return state, jax.tree.map(lambda *xs: jnp.stack(xs), *ms)
+
         def body(st, xs):
             i, f, e = xs
             return shard_step(st, store, i, f, e, audio_feats,
                               vgg_variables)
 
-        return jax.lax.scan(body, state, (idx, fidx, ex), unroll=unroll)
+        return jax.lax.scan(body, state, (idx, fidx, ex))
 
     mapped = jax.shard_map(
         shard_many, mesh=mesh,
-        in_specs=(P(), P(), P(None, axes), P(None, axes),
+        in_specs=(state_spec, P(), P(None, axes), P(None, axes),
                   P(None, axes), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(state_spec, P()),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,))
 

@@ -48,8 +48,9 @@ HEAVY_TEST_MODULES = {
     "test_composed_parity.py", "test_unet_parity.py", "test_hubert.py",
     "test_s3fd.py", "test_pfld.py", "test_yolo.py", "test_lpips.py",
     "test_tp.py", "test_multihost.py", "test_pipelines_e2e.py",
-    "test_train_step.py", "test_kernels.py", "test_multi_stream.py",
-    "test_synthesizer.py", "test_weights_export.py",
+    "test_train_step.py", "test_train_scale.py", "test_kernels.py",
+    "test_multi_stream.py", "test_synthesizer.py",
+    "test_weights_export.py",
 }
 
 
