@@ -485,10 +485,15 @@ def main(argv=None):
     sp.add_argument("--grad-accum", type=int, default=None,
                     help="microbatches per optimizer update (lax.scan "
                          "fwd/bwd, ONE Adam step)")
-    sp.add_argument("--remat", action="store_true", default=None,
+    # BooleanOptionalAction: --remat/--no-remat etc., so a switch enabled
+    # by a --config file can still be turned OFF from the command line
+    # (default None = "not specified", config value wins).
+    sp.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="recompute generator activations in the "
                          "backward pass (jax.checkpoint)")
-    sp.add_argument("--zero1", action="store_true", default=None,
+    sp.add_argument("--zero1", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="ZeRO-1: shard Adam moments 1/D per rank "
                          "(reduce_scatter grads, all_gather params)")
     common(sp)

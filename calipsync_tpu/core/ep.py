@@ -92,7 +92,13 @@ def capacity(tokens_per_group: int, num_experts: int,
 
 
 def _route(tokens: jax.Array, router: jax.Array, cap: int):
-    """Top-1 routing for one group: (dispatch (n,E,C) float, gate (n,))."""
+    """Top-1 routing for one group: (dispatch (n,E,C), gate (n,)).
+
+    Routing math runs in fp32 regardless of the compute dtype (the
+    standard MoE numerics split: a bf16 softmax can flip argmaxes), but
+    the returned dispatch tensor is cast to the token dtype so the
+    dispatch/combine einsums and the expert matmuls downstream run at
+    the repo's compute dtype (CLAUDE.md: bf16 serving) on the MXU."""
     probs = jax.nn.softmax(tokens.astype(jnp.float32) @ router, axis=-1)
     eidx = jnp.argmax(probs, axis=-1)                      # (n,)
     gate = jnp.take_along_axis(probs, eidx[:, None], -1)[:, 0]
@@ -103,15 +109,19 @@ def _route(tokens: jax.Array, router: jax.Array, cap: int):
     dispatch = (jax.nn.one_hot(eidx, router.shape[1])
                 * keep[:, None].astype(jnp.float32))[:, :, None] \
         * jax.nn.one_hot(pos_tok, cap)[:, None, :]
-    return dispatch, gate
+    return dispatch.astype(tokens.dtype), gate.astype(tokens.dtype)
 
 
 def _experts_apply(expert_in: jax.Array, params: dict) -> jax.Array:
-    """(E, C, H) -> (E, C, H): each expert's FFN on its capacity rows."""
-    h = gelu(jnp.einsum("ech,ehf->ecf", expert_in, params["w_in"])
-             + params["b_in"][:, None, :])
-    return (jnp.einsum("ecf,efh->ech", h, params["w_out"])
-            + params["b_out"][:, None, :])
+    """(E, C, H) -> (E, C, H): each expert's FFN on its capacity rows,
+    computed at the activation dtype (params cast down, flax-Dense
+    style)."""
+    dt = expert_in.dtype
+    h = gelu(jnp.einsum("ech,ehf->ecf", expert_in,
+                        params["w_in"].astype(dt))
+             + params["b_in"].astype(dt)[:, None, :])
+    return (jnp.einsum("ecf,efh->ech", h, params["w_out"].astype(dt))
+            + params["b_out"].astype(dt)[:, None, :])
 
 
 def _moe_group(tokens: jax.Array, params: dict, cap: int) -> jax.Array:

@@ -73,7 +73,9 @@ def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
       wav: (B, num_samples) normalized waveform; B must divide into
         ``num_microbatches``.
       num_microbatches: GPipe microbatch count M (default: one per
-        stage). Bubble fraction is (S-1)/(M+S-1).
+        stage); must be a multiple of S — the input stream is sharded
+        over stages, M/S microbatches per device, and ring-shifted to
+        stage 0 one per tick. Bubble fraction is (S-1)/(M+S-1).
       num_valid_frames: optional (B,) true-frame counts, same semantics
         as ``HubertModel.__call__``.
     """
@@ -87,6 +89,9 @@ def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
     B = wav.shape[0]
     if B % M:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    if M % S:
+        raise ValueError(f"{M} microbatches not divisible by {S} stages "
+                         "(the input stream shards over stages)")
 
     # Replicated frontend (mirrors HubertModel.__call__ order).
     x = ConvFeatureExtractor(config, dtype).apply(
@@ -118,17 +123,26 @@ def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
         return h
 
     fwd = [(i, i + 1) for i in range(S - 1)]
+    back = [(i, i - 1) for i in range(1, S)]
 
-    def pipelined(local_layers, mb, mb_mask):
-        # local_layers: this stage's (L/S, ...) slice; mb (+ mask)
-        # replicated. GPipe: stage s processes microbatch m at tick
-        # m + s; ticks t = 0..M+S-2.
+    def pipelined(local_layers, local_mb, mb_mask):
+        # local_layers: this stage's (L/S, ...) slice. local_mb: its
+        # (M/S, B/M, F, H) slice of the microbatch stream — stage s
+        # holds global microbatches [s*M/S, (s+1)*M/S), NOT a full
+        # replica; each tick the stream shifts one microbatch toward
+        # stage 0 over ICI (one extra ppermute, S x less input memory).
+        # Only the per-frame bool mask stays replicated (it is tiny).
+        # GPipe: stage s processes microbatch m at tick m + s.
         sidx = jax.lax.axis_index(axis)
 
-        def tick(h, t):
-            inject = jax.lax.dynamic_index_in_dim(
-                mb, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
-            h_in = jnp.where(sidx == 0, inject, h)
+        def tick(carry, t):
+            h, inbuf, acc = carry
+            # After t ring shifts the global stream is
+            # [m_t, ..., m_{M-1}, 0...]: stage 0's head IS microbatch t
+            # (zeros once t >= M — those ticks' outputs can only reach
+            # stage S-1 after the schedule ends, so they never land in
+            # a valid output slot).
+            h_in = jnp.where(sidx == 0, inbuf[0], h)
             # The activation arrived by ppermute; its mask is
             # recomputed from the microbatch id this stage holds now.
             km = None
@@ -137,17 +151,32 @@ def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
                     mb_mask, jnp.clip(t - sidx, 0, M - 1), axis=0,
                     keepdims=False)
             h_out = run_stage(local_layers, h_in, km)
-            return jax.lax.ppermute(h_out, axis, fwd), h_out
+            # Input ring shift: send my head back, append the next
+            # stage's head (stage S-1 appends ppermute zeros).
+            recv = jax.lax.ppermute(inbuf[0], axis, back)
+            inbuf = jnp.concatenate([inbuf[1:], recv[None]], axis=0)
+            # Stage S-1 finished microbatch t-(S-1) this tick: record
+            # it in the accumulator (other stages write their own slot
+            # back unchanged — a no-op update keeps shapes static).
+            m_out = t - (S - 1)
+            slot = jnp.clip(m_out, 0, M - 1)
+            cur = jax.lax.dynamic_index_in_dim(acc, slot, 0,
+                                               keepdims=False)
+            write = jnp.logical_and(sidx == S - 1, m_out >= 0)
+            acc = jax.lax.dynamic_update_index_in_dim(
+                acc, jnp.where(write, h_out, cur), slot, 0)
+            return (jax.lax.ppermute(h_out, axis, fwd), inbuf, acc), None
 
-        _, outs = jax.lax.scan(tick, jnp.zeros_like(mb[0]),
-                               jnp.arange(M + S - 1))
-        # Stage S-1 emitted microbatch m at tick m + S - 1; psum of the
-        # masked buffer replicates the result to every stage.
-        valid = jax.lax.dynamic_slice_in_dim(outs, S - 1, M, axis=0)
-        valid = jnp.where(sidx == S - 1, valid, 0)
-        return jax.lax.psum(valid, axis)
+        acc0 = jnp.zeros((M,) + local_mb.shape[1:], local_mb.dtype)
+        (_, _, acc), _ = jax.lax.scan(
+            tick, (jnp.zeros_like(local_mb[0]), local_mb, acc0),
+            jnp.arange(M + S - 1))
+        # Only stage S-1 wrote acc (everyone else carried zeros): the
+        # psum is a broadcast replicating the result to every stage —
+        # the replicated-output contract of this function.
+        return jax.lax.psum(acc, axis)
 
-    in_specs = (P(axis), P(), P())
+    in_specs = (P(axis), P(axis), P())
     out = jax.shard_map(pipelined, mesh=mesh, in_specs=in_specs,
                         out_specs=P(), check_vma=False)(
         stacked, mb, mb_mask)

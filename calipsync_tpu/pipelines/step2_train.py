@@ -31,6 +31,8 @@ from calipsync_tpu.train.trainer import (adam, build_model,
                                          make_resident_multi_step,
                                          make_resident_train_step,
                                          make_train_step,
+                                         replicated_opt_to_zero1,
+                                         zero1_opt_to_replicated,
                                          zero1_state_sharding)
 
 
@@ -97,10 +99,27 @@ def _train_impl(dataset_dir: str, save_dir: str,
         state = create_train_state(model, tx,
                                    jax.random.key(cfg.train.seed),
                                    init_variables)
+    # Checkpoints always hold the CANONICAL optimizer layout (param-pytree
+    # moments, tx.init(params) shape) so they carry no trace of the device
+    # count or the zero1 flag: a run checkpointed on 8 chips with zero1
+    # resumes on 4 chips without it, and vice versa.
+    def save_state(key: int, st) -> str:
+        if cfg.train.zero1:
+            st = st.replace(opt_state=zero1_opt_to_replicated(st.opt_state,
+                                                              st.params))
+        return str(ckpt.save_checkpoint(save_dir, key, st))
+
     start_epoch = 0
     if resume and ckpt.latest_step(save_dir) is not None:
         start_epoch = ckpt.latest_step(save_dir)  # checkpoints keyed by epoch
-        state = ckpt.restore_checkpoint(save_dir, state)
+        if cfg.train.zero1:
+            template = state.replace(
+                opt_state=jax.eval_shape(tx.init, state.params))
+            restored = ckpt.restore_checkpoint(save_dir, template)
+            state = restored.replace(opt_state=replicated_opt_to_zero1(
+                restored.opt_state, restored.params, tx, mesh, axes))
+        else:
+            state = ckpt.restore_checkpoint(save_dir, state)
 
     vgg_variables = load_vgg_variables(vgg_path)
     use_perceptual = vgg_variables is not None
@@ -224,7 +243,7 @@ def _train_impl(dataset_dir: str, save_dir: str,
             # this epoch is incomplete: checkpoint keyed by `epoch` (not
             # epoch+1) so resume=True redoes it from the saved state; an
             # existing periodic save at the same key is overwritten
-            last_path = str(ckpt.save_checkpoint(save_dir, epoch, state))
+            last_path = save_state(epoch, state)
             print(f"preempted during epoch {epoch + 1} after "
                   f"{n_batches} batches; checkpoint saved to {last_path}"
                   f" — rerun with resume=True to continue")
@@ -235,7 +254,7 @@ def _train_impl(dataset_dir: str, save_dir: str,
         periodic = (cfg.train.checkpoint_every
                     and (epoch + 1) % cfg.train.checkpoint_every == 0)
         if final or periodic:
-            last_path = str(ckpt.save_checkpoint(save_dir, epoch + 1, state))
+            last_path = save_state(epoch + 1, state)
         if n_batches:
             print(f"epoch {epoch + 1} done in {time.time() - t0:.2f}s "
                   f"avg loss {epoch_loss / n_batches:.6f}")

@@ -42,6 +42,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.flatten_util import ravel_pytree
@@ -88,16 +89,27 @@ def build_model(model_cfg: ModelConfig, axis_name: Optional[str]) -> Generator:
                      axis_name=axis_name, attn_impl=model_cfg.attn_impl)
 
 
+def _init_variables(model: Generator, rng: jax.Array,
+                    init_variables: Optional[dict]) -> dict:
+    if init_variables is not None:
+        return init_variables
+    audio_shape = ((1, 32, 32, 32) if model.mode == "hubert"
+                   else (1, 16, 32, 256))
+    return jax.jit(model.init)(
+        rng, jnp.zeros((1, 160, 160, model.n_channels)),
+        jnp.zeros(audio_shape))
+
+
+def _flat_param_spec(params) -> jax.ShapeDtypeStruct:
+    """Shape/dtype of ``ravel_pytree(params)[0]`` without materializing it."""
+    return jax.eval_shape(lambda p: ravel_pytree(p)[0], params)
+
+
 def create_train_state(model: Generator, tx: optax.GradientTransformation,
                        rng: jax.Array,
                        init_variables: Optional[dict] = None) -> TrainState:
     """Init (or adopt imported) variables and wrap them in a TrainState."""
-    if init_variables is None:
-        audio_shape = ((1, 32, 32, 32) if model.mode == "hubert"
-                       else (1, 16, 32, 256))
-        init_variables = jax.jit(model.init)(
-            rng, jnp.zeros((1, 160, 160, model.n_channels)),
-            jnp.zeros(audio_shape))
+    init_variables = _init_variables(model, rng, init_variables)
     params = init_variables["params"]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=init_variables["batch_stats"],
@@ -110,22 +122,92 @@ def create_zero1_state(model: Generator, tx: optax.GradientTransformation,
     """TrainState whose optimizer state is ZeRO-1 sharded.
 
     Moment leaves are stacked ``(D, ceil(P/D))`` blocks over the
-    flattened param vector — rank i owns block i. Place on the mesh
-    with :func:`zero1_state_sharding` (NOT ``replicate``) and pair with
-    a step built from a ``TrainConfig(zero1=True)``. The optimizer must
-    be elementwise (its ``init`` is called on a flat shard, not the
-    param pytree)."""
-    base = create_train_state(model, tx, rng, init_variables)
+    flattened param vector — rank i owns block i, created directly ON
+    the mesh with the leading axis sharded: peak optimizer memory per
+    device is 2P/D from the start (never the replicated 2P — that would
+    defeat ZeRO-1 exactly when the state doesn't fit one chip). Pair
+    with a step built from a ``TrainConfig(zero1=True)``; re-running
+    :func:`zero1_state_sharding` + ``device_put`` is a no-op. The
+    optimizer must be elementwise (its ``init`` is called on a flat
+    shard, not the param pytree)."""
+    init_variables = _init_variables(model, rng, init_variables)
+    params = init_variables["params"]
     axes = _axes_tuple(axis_name)
     d = _axes_size(mesh, axes)
-    flat, _ = ravel_pytree(base.params)
+    flat = _flat_param_spec(params)
     shard = -(-flat.shape[0] // d)
+    # init values come from a zeros shard (elementwise optimizers init
+    # moments to zeros; count to 0) — shard-sized, ~P/D bytes.
     opt_shard = tx.init(jnp.zeros((shard,), flat.dtype))
-    opt_state = jax.tree.map(
-        lambda l: jnp.tile(l[None], (d,) + (1,) * l.ndim)
-        if getattr(l, "ndim", 0) >= 1 else l,
-        opt_shard)
-    return base.replace(opt_state=opt_state)
+    shd = NamedSharding(mesh, P(axes))
+
+    def stack(l):
+        if getattr(l, "ndim", 0) < 1:
+            return l
+        # broadcast with a sharded out_sharding: each device materializes
+        # only its own (1, shard) block, never the full (D, shard) array.
+        return jax.jit(lambda v: jnp.broadcast_to(v[None], (d,) + v.shape),
+                       out_shardings=shd)(l)
+
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=init_variables["batch_stats"],
+                      opt_state=jax.tree.map(stack, opt_shard))
+
+
+def zero1_opt_to_replicated(opt_state, params):
+    """Stacked ZeRO-1 moment leaves -> the param-pytree layout
+    ``tx.init(params)`` produces.
+
+    This is the CANONICAL checkpoint form: it carries no trace of the
+    device count or the zero1 flag, so a checkpoint written by a ZeRO-1
+    run restores onto any topology and into non-ZeRO-1 runs (and vice
+    versa via :func:`replicated_opt_to_zero1`). step2_train converts on
+    save/restore; padded-tail elements are dropped here and re-created
+    as zeros there."""
+    flat, unravel = ravel_pytree(params)
+    n = flat.shape[0]
+
+    def conv(l):
+        if getattr(l, "ndim", 0) < 1:
+            return l
+        return unravel(l.reshape(-1)[:n])
+
+    return jax.tree.map(conv, opt_state)
+
+
+def replicated_opt_to_zero1(opt_state, params,
+                            tx: optax.GradientTransformation, mesh: Mesh,
+                            axis_name="data"):
+    """Param-pytree optimizer state -> stacked ``(D, shard)`` ZeRO-1
+    leaves placed sharded on ``mesh`` (inverse of
+    :func:`zero1_opt_to_replicated`; padded tails are zeros, which are
+    neutral under elementwise optimizers because the matching grad/param
+    tail elements are zero too — see ``_make_update_fn``)."""
+    axes = _axes_tuple(axis_name)
+    d = _axes_size(mesh, axes)
+    flat_spec = _flat_param_spec(params)
+    n = flat_spec.shape[0]
+    shard = -(-n // d)
+    struct = jax.eval_shape(tx.init,
+                            jax.ShapeDtypeStruct((shard,), flat_spec.dtype))
+    shd = NamedSharding(mesh, P(axes))
+
+    def conv(sl, rep):
+        # `struct` is a tree-prefix of `opt_state`: where it holds a
+        # (shard,) moment leaf, `rep` is the whole param-shaped subtree.
+        if sl.ndim < 1:
+            return jnp.asarray(rep, sl.dtype)
+        # Via host numpy, NOT jit: `rep` may be committed to a DIFFERENT
+        # mesh than the target (resuming on a new topology is the point
+        # of the canonical layout) and jit refuses mixed device sets.
+        # device_put with the NamedSharding moves only each device's own
+        # (1, shard) block; the full vector exists once, on host.
+        flat = np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree.leaves(rep)])
+        flat = np.pad(flat.astype(sl.dtype), (0, d * shard - n))
+        return jax.device_put(flat.reshape(d, shard), shd)
+
+    return jax.tree.map(conv, struct, opt_state)
 
 
 def zero1_state_sharding(state: TrainState, mesh: Mesh,

@@ -78,8 +78,9 @@ def test_single_expert_equals_dense_ffn():
     x = jax.random.normal(jax.random.key(2), (3, 5, 16), jnp.float32)
     vs = ffn.init(jax.random.key(3), x)
     moe_params = upcycle_ffn_to_moe(vs["params"], 1, jax.random.key(4))
-    got = moe_ffn(moe_params, x, capacity_factor=1.25)
-    want = ffn.apply(vs, x)
+    got = jax.jit(lambda p, v: moe_ffn(p, v, capacity_factor=1.25))(
+        moe_params, x)
+    want = jax.jit(ffn.apply)(vs, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
 
@@ -91,10 +92,12 @@ def test_upcycled_experts_scale_by_gate():
     x = jax.random.normal(jax.random.key(5), (4, 16), jnp.float32)
     vs = ffn.init(jax.random.key(6), x)
     moe_params = upcycle_ffn_to_moe(vs["params"], 4, jax.random.key(7))
-    dense = np.asarray(ffn.apply(vs, x))
-    probs = jax.nn.softmax(x @ moe_params["router"], axis=-1)
+    dense = np.asarray(jax.jit(ffn.apply)(vs, x))
+    probs = jax.jit(lambda p, v: jax.nn.softmax(v @ p["router"], axis=-1))(
+        moe_params, x)
     gate = np.asarray(jnp.max(probs, axis=-1))
-    got = np.asarray(moe_ffn(moe_params, x, capacity_factor=4.0))
+    got = np.asarray(jax.jit(
+        lambda p, v: moe_ffn(p, v, capacity_factor=4.0))(moe_params, x))
     np.testing.assert_allclose(got, gate[:, None] * dense,
                                rtol=1e-5, atol=1e-6)
 
@@ -149,10 +152,29 @@ def test_moe_encoder_layer_dense_parity():
         moe_ffn_params = upcycle_ffn_to_moe(pd.pop("feed_forward"), 1,
                                             jax.random.key(14))
         pm = {**pd, "moe": moe_ffn_params}
-        got = moe.apply({"params": pm}, x)
-        want = dense.apply(vd, x)
+        got = jax.jit(moe.apply)({"params": pm}, x)
+        want = jax.jit(dense.apply)(vd, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_moe_bf16_computes_at_bf16():
+    """bf16 tokens run the expert matmuls at bf16 (routing stays fp32):
+    output dtype is bf16 and values track the fp32 run at bf16 tolerance
+    — the repo's 'compute dtype per-config' convention (CLAUDE.md)."""
+    params = init_moe_params(jax.random.key(20), 16, 32, 4)
+    x = jax.random.normal(jax.random.key(21), (8, 16), jnp.float32)
+    f32 = jax.jit(lambda p, v: moe_ffn(p, v, capacity_factor=2.0))(params, x)
+    bf16 = jax.jit(lambda p, v: moe_ffn(p, v, capacity_factor=2.0))(
+        params, x.astype(jnp.bfloat16))
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(bf16, np.float32),
+                               np.asarray(f32), rtol=0.05, atol=0.05)
+    # routing itself is dtype-independent: the same experts were picked
+    # (outputs are nonzero in the same token rows)
+    nz32 = np.abs(np.asarray(f32)).sum(-1) > 0
+    nzbf = np.abs(np.asarray(bf16, np.float32)).sum(-1) > 0
+    assert (nz32 == nzbf).all()
 
 
 def test_moe_feed_forward_module_trains():
@@ -165,7 +187,7 @@ def test_moe_feed_forward_module_trains():
     def loss(p):
         return jnp.mean(m.apply({"params": p}, x) ** 2)
 
-    g = jax.grad(loss)(vs["params"])
+    g = jax.jit(jax.grad(loss))(vs["params"])
     leaves = {k: float(jnp.sum(jnp.abs(v)))
               for k, v in jax.tree.leaves_with_path(g)
               for k, v in [("/".join(str(q) for q in k), v)]}

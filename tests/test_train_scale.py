@@ -34,6 +34,8 @@ from calipsync_tpu.data.dataset import LipSyncDataset, batch_iterator
 from calipsync_tpu.train.trainer import (adam, build_model,
                                          create_train_state,
                                          create_zero1_state, make_train_step,
+                                         replicated_opt_to_zero1,
+                                         zero1_opt_to_replicated,
                                          zero1_state_sharding)
 
 
@@ -222,6 +224,43 @@ def test_zero1_checkpoint_resume(setup, tmp_path):
     for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_zero1_checkpoint_is_topology_free(setup):
+    """The canonical checkpoint layout (step2_train's save/restore form)
+    carries no device count: a ZeRO-1 state trained on the 4-device mesh
+    converts to the tx.init(params) structure — restorable by a
+    non-ZeRO-1 run — and re-stacks onto a 2-device mesh with every
+    moment value preserved, then keeps training there."""
+    mesh, model, variables, ds, feats = setup
+    cfg = TrainConfig(batch_size=4, zero1=True)
+    tx = adam(cfg)
+    s1, _ = _run(mesh, model, variables, ds, feats, cfg, tx,
+                 [_batch(ds, 4, seed=10)], zero1=True)  # moments nonzero
+
+    canon = zero1_opt_to_replicated(s1.opt_state, s1.params)
+    plain = tx.init(jax.tree.map(np.asarray, s1.params))
+    assert (jax.tree.structure(canon) == jax.tree.structure(plain)), \
+        "canonical layout must match a non-zero1 template"
+
+    mesh2 = make_mesh(data=2)
+    z2 = replicated_opt_to_zero1(canon, s1.params, tx, mesh2)
+    moments = [x for x in jax.tree.leaves(z2) if getattr(x, "ndim", 0) >= 1]
+    n = sum(x.size for x in jax.tree.leaves(s1.params))
+    assert all(m.shape == (2, -(-n // 2)) for m in moments)
+    back = zero1_opt_to_replicated(z2, s1.params)
+    for a, b in zip(jax.tree.leaves(canon), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+
+    # the restacked state steps on the new topology
+    state = s1.replace(opt_state=z2)
+    state = jax.device_put(state, zero1_state_sharding(state, mesh2))
+    fn = make_train_step(model, tx, mesh2, cfg, use_perceptual=False)
+    state, m = fn(state, shard_batch(_batch(ds, 4, seed=11), mesh2),
+                  feats, {})
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 2
 
 
 def test_resident_zero1_matches_host_zero1(setup, synthetic_step1_dir):
