@@ -40,18 +40,51 @@ class HubertFeatureExtractor:
                  dtype=None, bucket_samples: int = 32_000,
                  kernel: int = KERNEL, stride: int = STRIDE,
                  clip_samples: int = CLIP_SAMPLES,
-                 mesh=None, model_axis: str = "model"):
+                 mesh=None, model_axis: str = "model",
+                 parallel: str = "tp",
+                 pp_microbatches: Optional[int] = None):
         """kernel/stride/clip_samples parameterize the chunk math (the
         reference hard-codes 400/320/320000 for HuBERT-large,
         utils/hubert_extractor.py:26-28); overriding them lets tests run
         the identical chunk semantics on tiny configs.
 
-        ``mesh``: optional jax Mesh with a ``model_axis`` axis — shards the
-        encoder tensor-parallel (core/tp.py) so HuBERT-large's 315M params
-        split across chips; the call site is unchanged (GSPMD inserts the
-        Megatron all-reduces over ICI)."""
+        ``mesh``: optional jax Mesh with a ``model_axis`` axis that shards
+        HuBERT-large's 315M params across chips; ``parallel`` picks how:
+
+          - ``'tp'`` (default): Megatron weight sharding (core/tp.py),
+            GSPMD inserts the per-layer all-reduces over ICI; call sites
+            unchanged.
+          - ``'pp'``: GPipe layer pipelining (core/pp.py) — stage ``s``
+            holds layers ``[s*L/S, (s+1)*L/S)`` and the chunked
+            long-audio path batches ``pp_microbatches`` (default: one
+            per stage) 20 s chunks per dispatch so the pipeline bubble
+            amortizes across real work. Single-row calls pad the batch
+            with masked zero rows (``num_valid_frames=0``), so every
+            public method works identically in either mode.
+        """
         self.config = config or HubertConfig.large()
-        if mesh is not None:
+        self._pp_rows = 0
+        if mesh is not None and parallel == "pp":
+            from calipsync_tpu.core.pp import hubert_pp_apply
+
+            stages = int(mesh.shape[model_axis])
+            rows = int(pp_microbatches or stages)
+            if rows % stages:
+                raise ValueError(f"pp_microbatches {rows} must be a "
+                                 f"multiple of {stages} stages")
+            self._pp_rows = rows
+
+            def _fwd(variables, wav, n_valid):
+                return hubert_pp_apply(self.config, variables, wav, mesh,
+                                       axis=model_axis,
+                                       num_microbatches=rows,
+                                       num_valid_frames=n_valid,
+                                       dtype=dtype)
+
+            self._fwd = jax.jit(_fwd)
+        elif mesh is not None:
+            if parallel != "tp":
+                raise ValueError(f"unknown parallel mode {parallel!r}")
             from calipsync_tpu.core.tp import shard_hubert_variables
 
             variables = shard_hubert_variables(
@@ -64,25 +97,60 @@ class HubertFeatureExtractor:
         self.clip_samples = clip_samples
         self.chunk_len = clip_samples - stride + kernel
 
-        @functools.partial(jax.jit, static_argnums=())
-        def _fwd(variables, wav, n_valid):
-            return self.model.apply(variables, wav,
-                                    num_valid_frames=n_valid)
+        if not self._pp_rows:
+            @functools.partial(jax.jit, static_argnums=())
+            def _fwd(variables, wav, n_valid):
+                return self.model.apply(variables, wav,
+                                        num_valid_frames=n_valid)
 
-        self._fwd = _fwd
+            self._fwd = _fwd
+
+    def _forward_rows(self, rows: list) -> list:
+        """Normalized (L_i,) wavs -> [(num_frames(L_i), hidden) fp32].
+
+        Consecutive rows sharing a padded-length bucket run as one
+        batched forward of up to the PP microbatch count (PP mode; the
+        pipeline schedule needs a full batch anyway, short groups pad
+        with masked zero rows) or one row per dispatch otherwise (the
+        single-row compile the rest of the system shares).
+        """
+        quantum = self._pp_rows or 1
+        outs = []
+        idx = 0
+        while idx < len(rows):
+            row = np.asarray(rows[idx])
+            if self.config.num_frames(int(row.shape[0])) <= 0:
+                outs.append(np.zeros((0, self.config.hidden_size),
+                                     np.float32))
+                idx += 1
+                continue
+            padded_len = -(-int(row.shape[0]) // self.bucket) * self.bucket
+            group = [row]
+            while len(group) < quantum and idx + len(group) < len(rows):
+                nxt = np.asarray(rows[idx + len(group)])
+                if self.config.num_frames(int(nxt.shape[0])) <= 0:
+                    break
+                if -(-int(nxt.shape[0]) // self.bucket) * self.bucket \
+                        != padded_len:
+                    break
+                group.append(nxt)
+            b = quantum if self._pp_rows else len(group)
+            wav = np.zeros((b, padded_len), np.float32)
+            n_valid = np.zeros((b,), np.int32)
+            for j, g in enumerate(group):
+                wav[j, :g.shape[0]] = g
+                n_valid[j] = self.config.num_frames(int(g.shape[0]))
+            out = np.asarray(self._fwd(self.variables, jnp.asarray(wav),
+                                       jnp.asarray(n_valid)),
+                             dtype=np.float32)
+            for j in range(len(group)):
+                outs.append(out[j, :n_valid[j]])
+            idx += len(group)
+        return outs
 
     def _forward_padded(self, normalized: np.ndarray) -> np.ndarray:
         """(L,) normalized wav -> (num_frames(L), hidden) fp32."""
-        length = int(normalized.shape[0])
-        n_frames = self.config.num_frames(length)
-        if n_frames <= 0:
-            return np.zeros((0, self.config.hidden_size), np.float32)
-        padded_len = -(-length // self.bucket) * self.bucket
-        wav = np.zeros((1, padded_len), np.float32)
-        wav[0, :length] = normalized
-        out = self._fwd(self.variables, jnp.asarray(wav),
-                        jnp.asarray([n_frames], jnp.int32))
-        return np.asarray(out[0, :n_frames], dtype=np.float32)
+        return self._forward_rows([normalized])[0]
 
     def extract(self, speech_16k: np.ndarray) -> np.ndarray:
         """One-pass path (reference .extract): wav -> (T/2, 2, 1024)."""
@@ -102,14 +170,15 @@ class HubertFeatureExtractor:
         num_iter = total // self.clip_samples
         expected_t = (total - (self.kernel - self.stride)) // self.stride
 
-        pieces = []
-        for i in range(num_iter):
-            start = self.clip_samples * i
-            pieces.append(self._forward_padded(
-                normalized[start:start + self.chunk_len]))
+        rows = [normalized[self.clip_samples * i:
+                           self.clip_samples * i + self.chunk_len]
+                for i in range(num_iter)]
         remaining = normalized[self.clip_samples * num_iter:]
         if remaining.shape[0] >= self.kernel:
-            pieces.append(self._forward_padded(remaining))
+            rows.append(remaining)
+        # one batched dispatch per padded-length group: in PP mode the
+        # 20 s chunks become the GPipe microbatches
+        pieces = self._forward_rows(rows)
 
         if not pieces:
             return np.zeros((0, 2, self.config.hidden_size), np.float32)
@@ -193,10 +262,16 @@ class HubertFeatureExtractor:
         return self.extract_features(load_audio(audio_path, 16_000))
 
 
-def load_hf_checkpoint(hubert_path: str, dtype=None,
+def load_hf_checkpoint(hubert_path: str, dtype=None, mesh=None,
+                       model_axis: str = "model", parallel: str = "tp",
+                       pp_microbatches: Optional[int] = None,
                        ) -> HubertFeatureExtractor:
     """Build an extractor from a local HF checkpoint directory (the same
-    layout the reference points at, utils/hubert_extractor.py:84)."""
+    layout the reference points at, utils/hubert_extractor.py:84).
+
+    ``mesh``/``parallel`` forward to :class:`HubertFeatureExtractor`:
+    tensor- or pipeline-parallel extraction over a ``model`` mesh axis.
+    """
     import json
     import pathlib
 
@@ -226,4 +301,7 @@ def load_hf_checkpoint(hubert_path: str, dtype=None,
     else:
         raise FileNotFoundError(f"no model weights under {hubert_path}")
     variables = import_hubert(sd, config)
-    return HubertFeatureExtractor(variables, config, dtype=dtype)
+    return HubertFeatureExtractor(variables, config, dtype=dtype,
+                                  mesh=mesh, model_axis=model_axis,
+                                  parallel=parallel,
+                                  pp_microbatches=pp_microbatches)

@@ -62,10 +62,35 @@ def build_lip_detector(weights_dir: str, dtype=None,
                        detect_stride=detect_stride)
 
 
-def build_hubert(hubert_path: str, dtype=None):
+def build_hubert(hubert_path: str, dtype=None, mesh_cfg=None):
+    """HF checkpoint dir -> extractor; `mesh_cfg` (config.MeshConfig)
+    with model > 1 shards the 315M-param HuBERT across that many chips,
+    tensor-parallel (hubert_parallel='tp') or GPipe pipeline-parallel
+    ('pp', core/pp.py) per the config."""
     from calipsync_tpu.audio.hubert_pipeline import load_hf_checkpoint
 
-    return load_hf_checkpoint(hubert_path, dtype=dtype)
+    mesh = None
+    parallel = "tp"
+    pp_microbatches = None
+    if mesh_cfg is not None and mesh_cfg.model > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < mesh_cfg.model:
+            raise SystemExit(
+                f"mesh.model={mesh_cfg.model} but only {len(devices)} "
+                "devices visible")
+        mesh = Mesh(np.asarray(devices[:mesh_cfg.model]),
+                    (mesh_cfg.model_axis_name,))
+        parallel = mesh_cfg.hubert_parallel
+        pp_microbatches = mesh_cfg.pp_microbatches or None
+    return load_hf_checkpoint(hubert_path, dtype=dtype, mesh=mesh,
+                              model_axis=(mesh_cfg.model_axis_name
+                                          if mesh_cfg else "model"),
+                              parallel=parallel,
+                              pp_microbatches=pp_microbatches)
 
 
 def load_generator_variables(ckpt_path: str, cfg):
@@ -101,7 +126,8 @@ def cmd_step1(args):
 
     cfg = _load_cfg(args)
     pre = TrainPreprocessor(build_lip_detector(args.weights),
-                            build_hubert(args.hubert), crop=cfg.crop)
+                            build_hubert(args.hubert, mesh_cfg=cfg.mesh),
+                            crop=cfg.crop)
     out = pre.process_video(args.video, args.out, audio_path=args.audio)
     print(json.dumps(out))
 
@@ -154,7 +180,8 @@ def cmd_infer(args):
                              batch_size=cfg.infer.batch_size,
                              crop=cfg.crop, seed=args.seed,
                              transfer_format=cfg.infer.transfer_format)
-    mgr = VideoStreamManager(synth, build_hubert(args.hubert),
+    mgr = VideoStreamManager(synth,
+                             build_hubert(args.hubert, mesh_cfg=cfg.mesh),
                              fps=cfg.infer.fps,
                              pipelined=False if args.no_pipelined
                              else None)
@@ -168,7 +195,7 @@ def cmd_clone(args):
     cfg = _load_cfg(args)
     weights_path, model_id = clone_video_local(
         args.video, args.out, build_lip_detector(args.weights),
-        build_hubert(args.hubert), vgg_path=args.vgg,
+        build_hubert(args.hubert, mesh_cfg=cfg.mesh), vgg_path=args.vgg,
         unet_checkpoint=args.base, cfg=cfg)
     print(json.dumps({"weights": weights_path, "model_id": model_id}))
 
@@ -200,7 +227,7 @@ def cmd_featurize(args):
     as utils/hubert.py:102-106's argparse main)."""
     import numpy as np
 
-    ex = build_hubert(args.hubert)
+    ex = build_hubert(args.hubert, mesh_cfg=_load_cfg(args).mesh)
     feats = ex.extract_from_file(args.audio)
     np.save(args.out, feats)
     print(json.dumps({"out": args.out, "rows": int(feats.shape[0]),
@@ -427,7 +454,7 @@ def cmd_serve(args):
         player = NullPlayer(**kw)
 
     mgr = StreamingVideoManager(
-        synth, build_hubert(args.hubert), player,
+        synth, build_hubert(args.hubert, mesh_cfg=cfg.mesh), player,
         buffer_threshold=int(cfg.infer.fps * cfg.infer.buffer_threshold_s),
         output_sample_rate=sample_rate, fps=cfg.infer.fps,
         is_interrupt=args.interrupt)

@@ -112,6 +112,15 @@ class MeshConfig:
     axis_name: str = "data"
     dcn: int = 1                       # host axis size; -1 = process count
     dcn_axis_name: str = "host"
+    # HuBERT model-parallel axis (audio/hubert_pipeline.py): 1 = off;
+    # >1 builds a (model,) mesh over the first `model` local devices and
+    # shards the 315M-param extractor across them. `hubert_parallel`
+    # picks tensor (core/tp.py) or GPipe pipeline (core/pp.py) sharding;
+    # PP needs num_hidden_layers % model == 0 (24 % S for large).
+    model: int = 1
+    model_axis_name: str = "model"
+    hubert_parallel: str = "tp"        # 'tp' | 'pp'
+    pp_microbatches: int = 0           # 0 = one per pipeline stage
 
 
 @dataclass(frozen=True)

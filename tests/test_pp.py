@@ -96,6 +96,47 @@ def test_stacked_layers_shape():
     assert kern.shape[0] == cfg.num_hidden_layers
 
 
+def test_pp_extractor_end_to_end():
+    """The production featurizer runs PP (audio/hubert_pipeline.py
+    parallel='pp'): chunked long-audio extraction over a 4-stage GPipe
+    mesh equals the sequential extractor, 20 s chunks riding as the
+    microbatches; single-row calls pad with masked rows."""
+    from calipsync_tpu.audio.hubert_pipeline import HubertFeatureExtractor
+
+    cfg = tiny_config(True)  # HuBERT-large is stable-LN in production
+    model = HubertModel(cfg)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 400)))
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal((3210,)).astype(np.float32)
+
+    kw = dict(bucket_samples=1600, kernel=10, stride=5, clip_samples=1000)
+    plain = HubertFeatureExtractor(variables, cfg, **kw)
+    pp = HubertFeatureExtractor(variables, cfg, mesh=make_mesh(4),
+                                parallel="pp", **kw)
+    a = plain.extract_features(wav)
+    b = pp.extract_features(wav)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+    # one-pass path: a single row pads the PP batch with masked zero rows
+    short = rng.standard_normal((900,)).astype(np.float32)
+    np.testing.assert_allclose(pp.extract(short), plain.extract(short),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pp_extractor_rejects_bad_microbatches():
+    from calipsync_tpu.audio.hubert_pipeline import HubertFeatureExtractor
+
+    cfg = tiny_config(True)
+    model = HubertModel(cfg)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 400)))
+    with pytest.raises(ValueError, match="multiple"):
+        HubertFeatureExtractor(variables, cfg, mesh=make_mesh(4),
+                               parallel="pp", pp_microbatches=6)
+
+
 def test_pp_validates_divisibility():
     cfg = tiny_config(True)
     model = HubertModel(cfg)
