@@ -560,7 +560,12 @@ class FrameSynthesizer:
                     preds.copy_to_host_async()  # start d2h behind compute
                 inflight.append((self.executor.submit(
                     self._composite_batch, preds, entries), seq))
-                while len(inflight) >= self.pipeline_depth:
+                # pop eagerly once the head batch is composited — frames
+                # reach the consumer (player buffer) at the earliest
+                # possible moment instead of only when the pipeline is
+                # full; identical order/content, lower latency
+                while len(inflight) >= self.pipeline_depth or (
+                        inflight and inflight[0][0].done()):
                     fut, s = inflight.popleft()
                     yield from emit(fut.result(), s)
             while inflight:

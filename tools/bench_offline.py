@@ -59,13 +59,14 @@ def main():
         np.float32)
 
     out = {"seconds": seconds, "res": res, "batch": batch,
-           "sequential_s": [], "pipelined_s": []}
+           "sequential_s": [], "pipelined_s": [],
+           "ttff_sequential_s": [], "ttff_pipelined_s": []}
     with tempfile.TemporaryDirectory() as tmp:
         data_dir = make_synthetic_speaker(tmp, res=res)
         wav = os.path.join(tmp, "in.wav")
         save_wav(wav, wav_data, 16000)
 
-        def run(pipelined: bool, out_name: str) -> float:
+        def run(pipelined: bool, out_name: str, record: bool) -> float:
             synth = FrameSynthesizer(variables, data_dir, model=model,
                                      batch_size=batch, seed=0,
                                      transfer_format="yuv420")
@@ -75,13 +76,17 @@ def main():
             r = mgr.process_single_file(wav, os.path.join(tmp, out_name))
             dt = time.time() - t0
             out["frames"] = r["frames"]
+            if record:  # time-to-first-synthesized-frame (VERDICT r3 #4)
+                key = "ttff_pipelined_s" if pipelined \
+                    else "ttff_sequential_s"
+                out[key].append(r["ttff_s"])
             return round(dt, 2)
 
-        run(False, "warm.mp4")  # compile/warm both hubert + generator
-        run(True, "warm2.mp4")
+        run(False, "warm.mp4", False)  # compile/warm hubert + generator
+        run(True, "warm2.mp4", False)
         for _ in range(reps):  # interleaved: tunnel drift hits both
-            out["sequential_s"].append(run(False, "seq.mp4"))
-            out["pipelined_s"].append(run(True, "pipe.mp4"))
+            out["sequential_s"].append(run(False, "seq.mp4", True))
+            out["pipelined_s"].append(run(True, "pipe.mp4", True))
 
     seq = float(np.median(out["sequential_s"]))
     pipe = float(np.median(out["pipelined_s"]))
@@ -89,6 +94,12 @@ def main():
     out["median_pipelined_s"] = pipe
     out["speedup"] = round(seq / pipe, 2)
     out["pipelined_fps"] = round(out["frames"] / pipe, 1)
+    out["median_ttff_sequential_s"] = float(
+        np.median(out["ttff_sequential_s"]))
+    out["median_ttff_pipelined_s"] = float(
+        np.median(out["ttff_pipelined_s"]))
+    out["ttff_speedup"] = round(out["median_ttff_sequential_s"] /
+                                out["median_ttff_pipelined_s"], 2)
     print(json.dumps(out))
 
 
