@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from typing import Optional
 
@@ -34,13 +35,18 @@ def clone_video_local(video_path: str, output_base_dir: str,
                       unet_checkpoint: Optional[str] = None,
                       cfg: PipelineConfig = PipelineConfig(),
                       cleanup: bool = True,
-                      xseg_model_path: Optional[str] = None
+                      xseg_model_path: Optional[str] = None,
+                      timings: Optional[dict] = None
                       ) -> tuple[str, str]:
     """Full clone flow. Returns (weights_path, model_id).
 
     xseg_model_path: optional xseg.onnx — step3 then writes per-frame
     compositing masks (reference all_pipeline.py takes the same path and
-    ships the generator disabled)."""
+    ships the generator disabled).
+
+    timings: optional dict filled with per-stage wall seconds
+    ({'step1_s','step2_s','step3_s','total_s'}) — the cold-start-to-avatar
+    accounting tools/clone_proof.py records."""
     from calipsync_tpu.pipelines.step1_preprocess import TrainPreprocessor
     from calipsync_tpu.pipelines.step2_train import train_digital_model
     from calipsync_tpu.pipelines.step3_prepare import InferPreprocessor
@@ -48,16 +54,26 @@ def clone_video_local(video_path: str, output_base_dir: str,
     model_id = str(uuid.uuid4())
     model_dir = os.path.join(output_base_dir, model_id)
     os.makedirs(model_dir, exist_ok=True)
+    t_start = t0 = time.perf_counter()
+
+    def mark(key):
+        nonlocal t0
+        now = time.perf_counter()
+        if timings is not None:
+            timings[key] = round(now - t0, 2)
+        t0 = now
 
     step1 = TrainPreprocessor(lip_detector, hubert_extractor,
                               crop=cfg.crop)
     step1.process_video(video_path, model_dir)
+    mark("step1_s")
 
     weights_dir = os.path.join(model_dir, "weights")
     weights_path = train_digital_model(model_dir, weights_dir,
                                        vgg_path=vgg_path,
                                        unet_checkpoint=unet_checkpoint,
                                        cfg=cfg)
+    mark("step2_s")
 
     mask_gen = None
     if xseg_model_path:
@@ -66,7 +82,10 @@ def clone_video_local(video_path: str, output_base_dir: str,
         mask_gen = XSegMaskGenerator(model_path=xseg_model_path)
     step3 = InferPreprocessor(lip_detector, mask_generator=mask_gen)
     step3.process_video(video_path, model_dir)
+    mark("step3_s")
 
     if cleanup:
         clean_intermediate_data(model_dir)
+    if timings is not None:
+        timings["total_s"] = round(time.perf_counter() - t_start, 2)
     return weights_path, model_id
