@@ -274,7 +274,11 @@ def main():
 
         from calipsync_tpu.cli import load_generator_variables
 
-        trained = load_generator_variables(weights_path, cfg)
+        # weights_path is the step_N dir itself; the loader wants the
+        # checkpoint root (it resolves the latest step_*), as cmd_infer
+        # passes it
+        trained = load_generator_variables(
+            os.path.dirname(weights_path), cfg)
         init_vars = jax.jit(model.init)(  # the pre-training baseline
             jax.random.key(cfg.train.seed),
             jnp.zeros((1, 160, 160, 6)), jnp.zeros((1, 32, 32, 32)))
