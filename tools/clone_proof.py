@@ -305,6 +305,17 @@ def main():
                         "ttff_s": r["ttff_s"]}
         out["cold_start_to_avatar_s"] = round(
             timings["total_s"] + infer_s, 2)
+        # second pass: the same call with the jit programs warm — the
+        # steady-state serving rate a production process sees (the first
+        # pass above pays the one-time per-shape compiles; the persistent
+        # cache makes later processes start warm too)
+        t0 = time.time()
+        r2 = mgr.process_single_file(hold_wav, out_mp4)
+        warm_s = time.time() - t0
+        out["infer_warm"] = {"frames": r2["frames"],
+                             "wall_s": round(warm_s, 2),
+                             "fps": round(r2["frames"] / warm_s, 1),
+                             "ttff_s": r2["ttff_s"]}
 
         # ---- speaker-trained SyncNet -> LSE-C/D of the produced video --
         sync_dir = os.path.join(tmp, "syncnet")
