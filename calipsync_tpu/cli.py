@@ -436,7 +436,8 @@ def cmd_serve(args):
     model = build_model(cfg.model, axis_name=None)
     synth = FrameSynthesizer(variables, args.assets, model=model,
                              batch_size=cfg.infer.batch_size, crop=cfg.crop,
-                             transfer_format=cfg.infer.transfer_format)
+                             transfer_format=cfg.infer.transfer_format,
+                             first_batch_size=cfg.infer.first_window_batch)
 
     sample_rate = 24_000  # manager output rate; pegs the player clock
     kw = dict(fps=cfg.infer.fps, sample_rate=sample_rate)

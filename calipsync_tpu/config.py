@@ -134,6 +134,12 @@ class InferConfig:
     # lossless in delivered quality for 4:2:0 sinks (RTMP/mp4). 'bgr' is
     # the reference-exact byte-for-byte transfer (used by parity tests).
     transfer_format: str = "yuv420"
+    # Streaming first-window head batch: the first device batch of each
+    # synthesis window runs at this small padded shape so the first
+    # frame's compute + d2h is tiny (time-to-first-frame), then the
+    # window continues at batch_size. 0 = off. Output-identical
+    # (pad-invariant per sample); offline paths ignore it.
+    first_window_batch: int = 4
 
 
 @dataclass(frozen=True)

@@ -222,7 +222,8 @@ class FrameSynthesizer:
                  mesh=None, axis_name: str = "data",
                  pipeline_depth: int = 3,
                  transfer_format: str = "bgr",
-                 preload_max_bytes: int = 4 << 30):
+                 preload_max_bytes: int = 4 << 30,
+                 first_batch_size: int = 0):
         """
         Args:
           variables: generator {'params','batch_stats'} (imported or trained)
@@ -256,9 +257,21 @@ class FrameSynthesizer:
             re-encodes 4:2:0, i.e. RTMP/mp4, which is every reference
             player backend; measured full-frame PSNR vs 'bgr' output is
             recorded in tests/test_synthesizer.py).
+          first_batch_size: when >0, the FIRST device batch of each
+            iterate call runs at this smaller padded shape, so the first
+            frame's time-to-delivery pays a small compute + d2h (e.g.
+            4 x 19 KB yuv420 rows instead of 32 x) — the rest of the call
+            proceeds at ``batch_size``. Output-identical (generation is
+            pad-invariant per sample; tested); costs one extra cached
+            executable. Serving sets this (latency-sensitive first
+            window, reference image_infer_v1/infer_api.py:215-315);
+            offline/bench paths leave it 0.
         """
         self.data_dir = data_dir
         self.batch_size = batch_size
+        if first_batch_size < 0 or first_batch_size >= batch_size:
+            first_batch_size = 0
+        self.first_batch_size = first_batch_size
         self.crop = crop
         self.frames_dir = os.path.join(data_dir, "frames")
         self.positions_dir = os.path.join(data_dir, "positions")
@@ -289,6 +302,8 @@ class FrameSynthesizer:
                 raise ValueError("mesh sharding requires preload=True")
             if batch_size % mesh.shape[axis_name]:
                 raise ValueError("batch_size must divide over the mesh")
+            if self.first_batch_size % mesh.shape[axis_name]:
+                self.first_batch_size = 0  # head shape must shard too
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())
@@ -421,19 +436,23 @@ class FrameSynthesizer:
 
     # ---------------- synthesis ----------------
 
-    def _dispatch(self, entries, seq, feature_indices, audio_feats_dev):
-        """Stage inputs and start the device forward (async)."""
+    def _dispatch(self, entries, seq, feature_indices, audio_feats_dev,
+                  pad_to: Optional[int] = None):
+        """Stage inputs and start the device forward (async). ``pad_to``
+        overrides the padded batch shape (the small first-window batch);
+        default is ``batch_size``."""
         n = len(entries)
-        feat_idx = np.zeros((self.batch_size,), np.int32)
+        pad_to = pad_to or self.batch_size
+        feat_idx = np.zeros((pad_to,), np.int32)
         feat_idx[:n] = feature_indices
         if self._crops_dev is not None:
-            phys_idx = np.zeros((self.batch_size,), np.int32)
+            phys_idx = np.zeros((pad_to,), np.int32)
             phys_idx[:n] = [s % self.total_frames for s in seq]
             return self._generate_resident(
                 self.variables, self._crops_dev, jnp.asarray(phys_idx),
                 audio_feats_dev, jnp.asarray(feat_idx))
         cfg = self.crop
-        ref_u8 = np.zeros((self.batch_size, cfg.size, cfg.size, 3), np.uint8)
+        ref_u8 = np.zeros((pad_to, cfg.size, cfg.size, 3), np.uint8)
         masked_u8 = np.zeros_like(ref_u8)
         for i, e in enumerate(entries):
             ref_u8[i] = e["ref"]
@@ -535,9 +554,21 @@ class FrameSynthesizer:
                 yield {"frame": frame, "index": self.last_logical_index,
                        "physical_index": phys}
 
+        # batch partition: optional small head (first_batch_size) so the
+        # first frame ships early, then full batches
+        ranges = []
+        pos = lo
+        if self.first_batch_size and hi - lo > self.first_batch_size:
+            ranges.append((pos, pos + self.first_batch_size))
+            pos += self.first_batch_size
+        while pos < hi:
+            ranges.append((pos, min(pos + self.batch_size, hi)))
+            pos += self.batch_size
+
         try:
-            for start in range(lo, hi, self.batch_size):
-                end = min(start + self.batch_size, hi)
+            for ri, (start, end) in enumerate(ranges):
+                head = (ri == 0 and self.first_batch_size
+                        and end - start == self.first_batch_size)
                 seq = self.sequencer.next(end - start)
 
                 t0 = time.time()
@@ -551,7 +582,9 @@ class FrameSynthesizer:
                 try:
                     preds = self._dispatch(entries, seq,
                                            list(range(start, end)),
-                                           feats_dev)
+                                           feats_dev,
+                                           pad_to=(self.first_batch_size
+                                                   if head else None))
                 except Exception as e:  # batch fallback (reference :352-357)
                     print(f"frame batch dispatch failed: {e}")
                     preds = None

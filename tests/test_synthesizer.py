@@ -415,3 +415,35 @@ def test_pipelined_manager_propagates_extractor_error(synthetic_step3_dir,
                              span_rows=8)
     with pytest.raises(RuntimeError, match="feature extraction failed"):
         mgr.process_single_file(wav, str(tmp_path / "out.mp4"))
+
+
+def test_first_batch_size_output_identical(synthetic_step3_dir,
+                                           gen_variables):
+    """The small first-window head batch (first_batch_size, the
+    streaming TTF lever) changes only the batch partition/padding —
+    frames, order and physical walk are identical to the plain run
+    (generation is pad-invariant per sample)."""
+    model, variables = gen_variables
+    feats = np.random.default_rng(3).standard_normal(
+        (10, 2, 1024)).astype(np.float32)
+
+    plain = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                             model=model, batch_size=4, seed=0)
+    headed = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                              model=model, batch_size=4, seed=0,
+                              first_batch_size=3)
+    a = list(plain.iterate_synthesized_frames(feats))
+    b = list(headed.iterate_synthesized_frames(feats))
+    assert len(a) == len(b) == 10
+    for x, y in zip(a, b):
+        assert x["index"] == y["index"]
+        assert x["physical_index"] == y["physical_index"]
+        np.testing.assert_array_equal(x["frame"], y["frame"])
+
+    # degenerate configs disable themselves: head >= batch, negative
+    assert FrameSynthesizer(variables, str(synthetic_step3_dir),
+                            model=model, batch_size=4, seed=0,
+                            first_batch_size=4).first_batch_size == 0
+    assert FrameSynthesizer(variables, str(synthetic_step3_dir),
+                            model=model, batch_size=4, seed=0,
+                            first_batch_size=-1).first_batch_size == 0

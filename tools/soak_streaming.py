@@ -110,7 +110,9 @@ def main():
         assets = make_synthetic_speaker(tmp, res=res)
         synth = FrameSynthesizer(variables, assets, model=model,
                                  batch_size=batch, seed=0,
-                                 transfer_format="yuv420")
+                                 transfer_format="yuv420",
+                                 first_batch_size=int(os.environ.get(
+                                     "SOAK_FIRST_BATCH", "4")))
         player = _FaultyNullPlayer(fps=25, sample_rate=24_000,
                                    on_frame=lambda it: played.append(
                                        time.monotonic()))
