@@ -221,13 +221,17 @@ def main() -> None:
 
         link_mbps = link_probe()
         # time-to-first-frame: one synthesis-window burst — what a
-        # streaming viewer waits after audio arrives. A window buckets
-        # the feature length to 256 (its own executable), so warm that
-        # shape once, then measure.
+        # streaming viewer waits after audio arrives. Serving runs the
+        # small first-window head batch (InferConfig.first_window_batch),
+        # so measure with it: the first dispatch computes+ships 4 rows,
+        # not `batch`. A window buckets the feature length to 256 (its
+        # own executable), so warm both shapes once, then measure.
+        synth.first_batch_size = 4
         next(iter(synth.iterate_synthesized_frames(feats[:batch])))
         t0 = time.time()
         next(iter(synth.iterate_synthesized_frames(feats[:batch])))
         ttf_ms = (time.time() - t0) * 1000.0
+        synth.first_batch_size = 0  # throughput passes stay comparable
         bgr_fps = None
         if transfer != "bgr":
             ref_synth = FrameSynthesizer(variables, data_dir, model=model,
