@@ -211,14 +211,30 @@ class HubertFeatureExtractor:
         t_even = max(0, expected_t - expected_t % 2)
         hidden = self.config.hidden_size
 
-        def pieces():
+        def raw_rows():
             for i in range(num_iter):
                 start = self.clip_samples * i
-                yield self._forward_padded(
-                    normalized[start:start + self.chunk_len])
+                yield normalized[start:start + self.chunk_len]
             remaining = normalized[self.clip_samples * num_iter:]
             if remaining.shape[0] >= self.kernel:
-                yield self._forward_padded(remaining)
+                yield remaining
+
+        def pieces():
+            # Dispatch in groups of the PP microbatch count: a GPipe
+            # dispatch costs the same wall for 1 valid row as for a full
+            # group (the schedule pads to _pp_rows either way), so
+            # grouping gives the streaming path the same bubble
+            # amortization as extract_features at no latency cost.
+            # Non-PP quantum is 1 -> identical per-chunk dispatches.
+            quantum = self._pp_rows or 1
+            group = []
+            for row in raw_rows():
+                group.append(row)
+                if len(group) == quantum:
+                    yield from self._forward_rows(group)
+                    group = []
+            if group:
+                yield from self._forward_rows(group)
 
         got_piece = False
         emitted = 0  # frames paired off so far (always even)
@@ -237,8 +253,16 @@ class HubertFeatureExtractor:
         if not got_piece:
             return  # reference returns an empty array here
         if emitted < t_even:  # pad up to expected_T (reference :52-54)
-            yield np.zeros(((t_even - emitted) // 2, 2, hidden),
-                           np.float32)
+            # buf may hold one leftover real row (odd piece total below
+            # expected_T): it pairs with the first pad row, exactly as
+            # extract_features' concatenate-then-pad keeps it
+            need = t_even - emitted
+            if buf.shape[0] < need:
+                buf = np.concatenate(
+                    [buf, np.zeros((need - buf.shape[0], hidden),
+                                   np.float32)], axis=0)
+            yield np.ascontiguousarray(
+                buf[:need].reshape(-1, 2, hidden))
 
     def extract_from_file_stream(self, audio_path: str):
         from calipsync_tpu.audio.io import load_audio

@@ -269,9 +269,9 @@ class FrameSynthesizer:
         """
         self.data_dir = data_dir
         self.batch_size = batch_size
-        if first_batch_size < 0 or first_batch_size >= batch_size:
-            first_batch_size = 0
-        self.first_batch_size = first_batch_size
+        self.mesh = None  # set below; set_first_batch_size reads it
+        self.axis_name = axis_name
+        self.set_first_batch_size(first_batch_size)
         self.crop = crop
         self.frames_dir = os.path.join(data_dir, "frames")
         self.positions_dir = os.path.join(data_dir, "positions")
@@ -302,8 +302,7 @@ class FrameSynthesizer:
                 raise ValueError("mesh sharding requires preload=True")
             if batch_size % mesh.shape[axis_name]:
                 raise ValueError("batch_size must divide over the mesh")
-            if self.first_batch_size % mesh.shape[axis_name]:
-                self.first_batch_size = 0  # head shape must shard too
+            self.set_first_batch_size(self.first_batch_size)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())
@@ -348,6 +347,20 @@ class FrameSynthesizer:
                       f"preload_max_bytes; using streaming path")
             else:
                 self.preload()
+
+    def set_first_batch_size(self, n: int) -> int:
+        """Validated setter for the first-window head batch (the single
+        place its constraints live): degenerate sizes (negative, or >=
+        batch_size) and head shapes that don't divide over the serving
+        mesh disable the head (0). Returns the effective value. Safe to
+        call between iterate calls (each call re-reads it)."""
+        if n < 0 or n >= self.batch_size:
+            n = 0
+        if n and self.mesh is not None and n % self.mesh.shape[
+                self.axis_name]:
+            n = 0
+        self.first_batch_size = n
+        return n
 
     # ---------------- per-physical-frame cache ----------------
 
@@ -565,11 +578,27 @@ class FrameSynthesizer:
             ranges.append((pos, min(pos + self.batch_size, hi)))
             pos += self.batch_size
 
+        # The sequencer redraws its random segment at next() call
+        # boundaries (reference :147-190 draws per batch call), so it is
+        # always pulled at the canonical batch_size partition — the head
+        # batch only re-slices the resulting index stream for dispatch.
+        # This keeps the physical walk bit-identical for any
+        # first_batch_size (and for row_range spans whose starts are
+        # multiples of batch_size, the pipelined manager's invariant).
+        def canonical_seq_stream():
+            p = lo
+            while p < hi:
+                n = min(self.batch_size, hi - p)
+                yield from self.sequencer.next(n)
+                p += n
+
+        seq_iter = canonical_seq_stream()
+
         try:
             for ri, (start, end) in enumerate(ranges):
                 head = (ri == 0 and self.first_batch_size
                         and end - start == self.first_batch_size)
-                seq = self.sequencer.next(end - start)
+                seq = [next(seq_iter) for _ in range(end - start)]
 
                 t0 = time.time()
                 entries = self._entries_for(seq)

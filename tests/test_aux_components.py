@@ -248,7 +248,8 @@ def test_cli_syncnet_train_and_featurize(synthetic_step1_dir, tmp_path,
             return np.zeros((6, 2, 1024), np.float32)
 
     monkeypatch.setattr(cli, "build_hubert",
-                        lambda path, dtype=None: _StubExtractor())
+                        lambda path, dtype=None, mesh_cfg=None:
+                        _StubExtractor())
     out = tmp_path / "f.npy"
     cli.main(["featurize", "--audio", "x.wav", "--out", str(out),
               "--hubert", "dummy"])

@@ -125,6 +125,38 @@ def test_pp_extractor_end_to_end():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_pp_extractor_stream_equals_batch_and_groups():
+    """The STREAMING path (the pipelined offline manager's route) must
+    both match the sequential extractor row-for-row and actually group
+    chunks into GPipe microbatch dispatches — a per-chunk dispatch in PP
+    mode pads every batch to _pp_rows and pays S x the compute."""
+    from calipsync_tpu.audio.hubert_pipeline import HubertFeatureExtractor
+
+    cfg = tiny_config(True)
+    model = HubertModel(cfg)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 400)))
+    rng = np.random.default_rng(7)
+    wav = rng.standard_normal((5230,)).astype(np.float32)  # 5 chunks+tail
+
+    kw = dict(bucket_samples=1600, kernel=10, stride=5, clip_samples=1000)
+    plain = HubertFeatureExtractor(variables, cfg, **kw)
+    pp = HubertFeatureExtractor(variables, cfg, mesh=make_mesh(4),
+                                parallel="pp", **kw)
+    want = plain.extract_features(wav)
+    blocks = list(pp.extract_features_stream(wav))
+    np.testing.assert_allclose(np.concatenate(blocks, axis=0), want,
+                               rtol=2e-5, atol=2e-6)
+
+    # grouping contract: chunks ride in groups of the microbatch count
+    group_sizes = []
+    orig = pp._forward_rows
+    pp._forward_rows = lambda rows: (group_sizes.append(len(rows))
+                                     or orig(rows))
+    list(pp.extract_features_stream(wav))
+    assert max(group_sizes) == pp._pp_rows == 4, group_sizes
+
+
 def test_pp_extractor_rejects_bad_microbatches():
     from calipsync_tpu.audio.hubert_pipeline import HubertFeatureExtractor
 

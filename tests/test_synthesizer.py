@@ -427,18 +427,23 @@ def test_first_batch_size_output_identical(synthetic_step3_dir,
     feats = np.random.default_rng(3).standard_normal(
         (10, 2, 1024)).astype(np.float32)
 
-    plain = FrameSynthesizer(variables, str(synthetic_step3_dir),
-                             model=model, batch_size=4, seed=0)
-    headed = FrameSynthesizer(variables, str(synthetic_step3_dir),
-                              model=model, batch_size=4, seed=0,
-                              first_batch_size=3)
-    a = list(plain.iterate_synthesized_frames(feats))
-    b = list(headed.iterate_synthesized_frames(feats))
-    assert len(a) == len(b) == 10
-    for x, y in zip(a, b):
-        assert x["index"] == y["index"]
-        assert x["physical_index"] == y["physical_index"]
-        np.testing.assert_array_equal(x["frame"], y["frame"])
+    # Sweep seeds: the sequencer redraws its random segment at next()
+    # call boundaries, so a head batch that shifted those boundaries
+    # would change the walk for SOME seed even when one seed happens to
+    # match (seed 1 diverged under the pre-fix partition).
+    for seed in range(4):
+        plain = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                                 model=model, batch_size=4, seed=seed)
+        headed = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                                  model=model, batch_size=4, seed=seed,
+                                  first_batch_size=3)
+        a = list(plain.iterate_synthesized_frames(feats))
+        b = list(headed.iterate_synthesized_frames(feats))
+        assert len(a) == len(b) == 10
+        for x, y in zip(a, b):
+            assert x["index"] == y["index"]
+            assert x["physical_index"] == y["physical_index"]
+            np.testing.assert_array_equal(x["frame"], y["frame"])
 
     # degenerate configs disable themselves: head >= batch, negative
     assert FrameSynthesizer(variables, str(synthetic_step3_dir),
