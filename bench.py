@@ -17,11 +17,16 @@ Extra keys (same JSON object):
                      separates chip headroom from tunnel bandwidth
   link_probe_MBps    raw d2h bandwidth at measurement time (context for
                      cross-run comparisons; ~40-90 MB/s typical range)
-  transfer_format    'yuv420' by default: the device packs planar I420
-                     (half the d2h bytes; free in delivered quality —
-                     every sink re-encodes 4:2:0). bgr_fps reports the
-                     reference-exact uint8-BGR transfer on the same run
-                     for an apples-to-apples tunnel comparison.
+  transfer_format    'adaptive' by default: the synthesizer probes the
+                     link and picks yuv420 (half the d2h bytes) when
+                     link-bound vs bgr (no host I420 decode) when
+                     host-bound. bgr_fps / yuv420_fps report both fixed
+                     formats on the same run for comparison;
+                     chosen_format is what adaptive settled on.
+  ttf_stages_ms      first-frame stage breakdown (feature upload, frame
+                     load, head-batch compute, d2h, composite), measured
+                     from a quiescent pipeline; ttf_window25_ms is the
+                     true 1 s-streaming-window shape.
   realistic_720p     2,500 frames (100 s clip) at 1280x720 portrait with
                      the host frame cache deliberately capped BELOW the
                      clip length: steady-state JPEG decode on misses, with
@@ -91,11 +96,39 @@ def make_synthetic_speaker(root: str, n_frames: int = 40,
     return infer
 
 
+class _forced_format:
+    """Temporarily pin an adaptive synthesizer to one concrete transfer
+    format (disables the probe so the choice can't flip mid-pass); no-op
+    restore on exit. Used to warm both executables and to report
+    per-format comparison numbers off the SAME synth/crop store."""
+
+    def __init__(self, synth, fmt):
+        self.synth, self.fmt = synth, fmt
+
+    def __enter__(self):
+        self.saved = (self.synth.transfer_format,
+                      self.synth._active_format)
+        self.synth.transfer_format = self.fmt
+        self.synth._active_format = self.fmt
+
+    def __exit__(self, *exc):
+        (self.synth.transfer_format,
+         self.synth._active_format) = self.saved
+
+
 def _measured_fps(synth, feats, warm_passes: int,
                   timed_passes: int = 3) -> tuple[float, list]:
     """Median of ``timed_passes`` full passes (plus the per-pass list).
     The tunnel's bandwidth drifts minute to minute; a single-pass
     reading can land 2x off the sustained rate in either direction."""
+    if synth.transfer_format == "adaptive":
+        # both formats' executables must be compiled BEFORE timing: a
+        # mid-pass format flip must cost a dispatch, not a cold compile
+        for fmt in ("bgr", "yuv420"):
+            with _forced_format(synth, fmt):
+                for _ in synth.iterate_synthesized_frames(feats):
+                    pass
+        warm_passes = max(warm_passes - 1, 0)
     for _ in range(warm_passes):
         for _ in synth.iterate_synthesized_frames(feats):
             pass
@@ -139,6 +172,72 @@ def _compute_only_fps(synth, feats) -> float:
                                list(range(start, end)), fd)
     device_sync(last)
     return total / (time.time() - t0)
+
+
+def _measure_ttf(synth, feats) -> float:
+    """Time-to-first-frame (ms) of one synthesis window, measured from a
+    QUIESCENT pipeline.
+
+    Round-4 postmortem (VERDICT.md): the old warm-up did
+    ``next(iter(gen))`` and abandoned the generator with up to
+    ``pipeline_depth`` full batches in flight — their d2h (~15 MB at
+    batch 128) was still streaming over the tunnel when the timed call
+    started, which is exactly BENCH_r04's unattributed 1,502.8 ms.
+    Both the warm and the timed generator are now fully drained, so the
+    timed first frame starts from an idle device and an idle link.
+
+    The transfer format is PINNED for the whole measurement: an
+    adaptive synth that flipped formats between the warm and the timed
+    call would record a cold executable compile (~28 s, observed) as
+    first-frame latency."""
+    with _forced_format(synth, synth._active_format):
+        for _ in synth.iterate_synthesized_frames(feats):  # warm, drained
+            pass
+        gen = synth.iterate_synthesized_frames(feats)
+        t0 = time.time()
+        next(gen)
+        ttf_ms = (time.time() - t0) * 1000.0
+        for _ in gen:  # drain — no in-flight work for later sections
+            pass
+    return ttf_ms
+
+
+def _ttf_stages(synth, feats, n_head: int) -> dict:
+    """Stage breakdown of the first-frame path (the soak's ttf_stages_s,
+    ported to the bench per VERDICT r4 #1): replays exactly what
+    ``iterate_synthesized_frames`` does up to the first yielded frame —
+    feature pad+upload, host frame load, head-batch device compute, d2h
+    of the head rows, composite — each synchronously timed. The sum
+    should approximate the generator-measured TTF; a large gap would
+    mean untimed dispatch/Python overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    marks = {}
+    total = len(feats)
+    padded_t = 64 if total <= 64 else max(256, -(-total // 256) * 256)
+    t0 = time.time()
+    padded = np.zeros((padded_t,) + feats.shape[1:], synth._feat_dtype)
+    padded[:total] = feats
+    fd = jnp.asarray(padded)
+    jax.block_until_ready(fd)
+    marks["feature_upload"] = time.time() - t0
+    t0 = time.time()
+    seq = synth.sequencer.next(n_head)
+    entries = synth._entries_for(seq)
+    marks["frame_load"] = time.time() - t0
+    t0 = time.time()
+    preds = synth._dispatch(entries, seq, list(range(n_head)), fd,
+                            pad_to=n_head)
+    jax.block_until_ready(preds)
+    marks["device_compute"] = time.time() - t0
+    t0 = time.time()
+    np.asarray(preds)
+    marks["d2h"] = time.time() - t0
+    t0 = time.time()
+    synth._composite_batch(preds, entries)
+    marks["composite"] = time.time() - t0
+    return {k: round(v * 1000.0, 1) for k, v in marks.items()}
 
 
 def _device_watchdog(timeout_s: float = 420.0):
@@ -185,7 +284,7 @@ def main() -> None:
     res = int(os.environ.get("BENCH_RES", "480"))
     depth = int(os.environ.get("BENCH_DEPTH", "6"))
     full = os.environ.get("BENCH_FULL", "1") == "1"
-    transfer = os.environ.get("BENCH_TRANSFER", "yuv420")
+    transfer = os.environ.get("BENCH_TRANSFER", "adaptive")
 
     model = Generator(dtype=dtype)
     variables = jax.jit(model.init)(jax.random.key(0),
@@ -224,21 +323,32 @@ def main() -> None:
         # streaming viewer waits after audio arrives. Serving runs the
         # small first-window head batch (InferConfig.first_window_batch),
         # so measure with it: the first dispatch computes+ships 4 rows,
-        # not `batch`. A window buckets the feature length to 256 (its
-        # own executable), so warm both shapes once, then measure.
+        # not `batch`. Measured from a quiescent pipeline (see
+        # _measure_ttf) with a stage breakdown, plus the true streaming
+        # shape: a 25-row (1 s) window.
         from calipsync_tpu.config import InferConfig
 
         synth.set_first_batch_size(InferConfig.first_window_batch)
         try:
-            next(iter(synth.iterate_synthesized_frames(feats[:batch])))
-            t0 = time.time()
-            next(iter(synth.iterate_synthesized_frames(feats[:batch])))
-            ttf_ms = (time.time() - t0) * 1000.0
+            ttf_ms = _measure_ttf(synth, feats[:batch])
+            ttf_stages = _ttf_stages(synth, feats[:batch],
+                                     synth.first_batch_size or batch)
+            ttf25_ms = _measure_ttf(synth, feats[:25])
         finally:
             # throughput passes stay comparable to prior rounds
             synth.set_first_batch_size(0)
-        bgr_fps = None
-        if transfer != "bgr":
+        # per-format comparison off the same synth/crop store (adaptive
+        # keeps both executables live); fixed-format runs build a second
+        # synth for the reference-exact bgr number as before
+        bgr_fps = yuv_fps = None
+        if transfer == "adaptive":
+            with _forced_format(synth, "bgr"):
+                bgr_fps, _ = _measured_fps(synth, feats, warm_passes=0,
+                                           timed_passes=1)
+            with _forced_format(synth, "yuv420"):
+                yuv_fps, _ = _measured_fps(synth, feats, warm_passes=0,
+                                           timed_passes=1)
+        elif transfer != "bgr":
             ref_synth = FrameSynthesizer(variables, data_dir, model=model,
                                          batch_size=batch, seed=0,
                                          pipeline_depth=depth,
@@ -251,9 +361,18 @@ def main() -> None:
            "compute_only_fps": round(compute_fps, 2),
            "link_probe_MBps": round(link_mbps, 1),
            "first_frame_latency_ms": round(ttf_ms, 1),
+           "ttf_stages_ms": ttf_stages,
+           "ttf_window25_ms": round(ttf25_ms, 1),
            "transfer_format": transfer}
+    if transfer == "adaptive":
+        out["chosen_format"] = synth._active_format
+        out["adaptive_fps_table"] = {
+            f"{fmt}_{cls}": round(v, 1)
+            for (fmt, cls), v in sorted(synth._fmt_fps.items())}
     if bgr_fps is not None:
         out["bgr_fps"] = round(bgr_fps, 2)
+    if yuv_fps is not None:
+        out["yuv420_fps"] = round(yuv_fps, 2)
 
     if full:
         n_real = int(os.environ.get("BENCH_REAL_FRAMES", "2500"))

@@ -133,7 +133,10 @@ class InferConfig:
     # 'yuv420': device packs planar I420 predictions — half the d2h bytes,
     # lossless in delivered quality for 4:2:0 sinks (RTMP/mp4). 'bgr' is
     # the reference-exact byte-for-byte transfer (used by parity tests).
-    transfer_format: str = "yuv420"
+    # 'adaptive' (default) measures each format's real throughput and
+    # keeps the winner: yuv420 when the tunnel is link-bound, bgr when
+    # the host is the bottleneck (FrameSynthesizer._choose_call_format).
+    transfer_format: str = "adaptive"
     # Streaming first-window head batch: the first device batch of each
     # synthesis window runs at this small padded shape so the first
     # frame's compute + d2h is tiny (time-to-first-frame), then the

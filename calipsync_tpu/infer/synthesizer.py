@@ -22,6 +22,7 @@ time_stats instrumentation.
 
 from __future__ import annotations
 
+import itertools
 import os
 import threading
 import time
@@ -251,12 +252,20 @@ class FrameSynthesizer:
             worker threads and partially parallelize (~20% measured), so
             depth >2 overlaps transfer of batch k with compute of k+1 and
             compositing of k-1.
-          transfer_format: 'bgr' (reference-exact uint8 crops) or 'yuv420'
+          transfer_format: 'bgr' (reference-exact uint8 crops), 'yuv420'
             (device packs planar I420 — HALF the d2h bytes per frame; the
             host decodes via cv2. Free in delivered quality when the sink
             re-encodes 4:2:0, i.e. RTMP/mp4, which is every reference
             player backend; measured full-frame PSNR vs 'bgr' output is
-            recorded in tests/test_synthesizer.py).
+            recorded in tests/test_synthesizer.py), or 'adaptive': each
+            call runs one format and feeds its MEASURED fps into a
+            per-(format, call-size) EMA table; the next call takes the
+            argmax, re-measuring the loser every ~30 s (see the
+            "adaptive transfer format" section below for why a
+            cost-model probe was rejected). Motivation: bgr wins
+            host-bound windows (550 vs 403 fps), yuv420 wins link-bound
+            ones (478 vs 255) — BENCH_r04_local.json / BENCH_r04.json —
+            and the optimum flips with tunnel conditions.
           first_batch_size: when >0, the FIRST device batch of each
             iterate call runs at this smaller padded shape, so the first
             frame's time-to-delivery pays a small compute + d2h (e.g.
@@ -292,11 +301,22 @@ class FrameSynthesizer:
         self._feat_dtype = (ml_dtypes.bfloat16
                             if self.model.dtype == jnp.bfloat16
                             else np.float32)
-        if transfer_format not in ("bgr", "yuv420"):
+        if transfer_format not in ("bgr", "yuv420", "adaptive"):
             raise ValueError(f"unknown transfer_format: {transfer_format}")
         self.transfer_format = transfer_format
+        # concrete formats this synthesizer can dispatch; adaptive keeps
+        # both executables live and flips between them
+        fmts = (("bgr", "yuv420") if transfer_format == "adaptive"
+                else (transfer_format,))
+        # adaptive starts on yuv420 (the safe choice on a slow tunnel —
+        # its worst case is a sub-ms host decode, bgr's worst case is 2x
+        # the link bytes); measurements take over within two calls
+        self._active_format = fmts[-1]
+        self._fmt_fps: Dict[tuple, float] = {}
+        self._last_explore = 0.0
         self._replicate = lambda x: x
-        self._generate = make_generate_fn(self.model, transfer_format)
+        self._generate_fns = {f: make_generate_fn(self.model, f)
+                              for f in fmts}
         if mesh is not None:
             if not preload:
                 raise ValueError("mesh sharding requires preload=True")
@@ -308,15 +328,17 @@ class FrameSynthesizer:
             rep = NamedSharding(mesh, P())
             self._replicate = lambda x: jax.device_put(x, rep)
             self.variables = jax.tree.map(self._replicate, variables)
-            self._generate_resident = make_generate_resident_sharded_fn(
-                self.model, crop, mesh, axis_name, transfer_format)
+            self._generate_resident_fns = {
+                f: make_generate_resident_sharded_fn(
+                    self.model, crop, mesh, axis_name, f) for f in fmts}
         else:
             # pin params on device ONCE: torch-imported variables are
             # host numpy trees, and passing those to a jitted call
             # re-uploads all ~79 MB of them over the tunnel per dispatch
             self.variables = jax.device_put(variables)
-            self._generate_resident = make_generate_resident_fn(
-                self.model, crop, transfer_format)
+            self._generate_resident_fns = {
+                f: make_generate_resident_fn(self.model, crop, f)
+                for f in fmts}
         self.executor = ThreadPoolExecutor(max_workers=max(4, batch_size))
         self.sequencer = PingPongSequencer(
             self.total_frames, np.random.default_rng(seed))
@@ -354,11 +376,17 @@ class FrameSynthesizer:
         batch_size) and head shapes that don't divide over the serving
         mesh disable the head (0). Returns the effective value. Safe to
         call between iterate calls (each call re-reads it)."""
+        requested = n
         if n < 0 or n >= self.batch_size:
             n = 0
         if n and self.mesh is not None and n % self.mesh.shape[
                 self.axis_name]:
             n = 0
+        if requested > 0 and n == 0:
+            # a silently-dropped head batch loses the low-latency first
+            # frame with no signal — mirror the preload degrade message
+            print(f"first_batch_size {requested} disabled: must be in "
+                  f"[1, batch_size) and divide over the serving mesh")
         self.first_batch_size = n
         return n
 
@@ -449,19 +477,71 @@ class FrameSynthesizer:
 
     # ---------------- synthesis ----------------
 
+    # ---------------- adaptive transfer format ----------------
+    #
+    # Decision signal: MEASURED end-to-end throughput per format, not a
+    # link-bandwidth cost model. (A probe-based model was tried first
+    # and failed in production: a d2h probe racing the pipeline's own
+    # transfers read 10 GB/s on a 21 MB/s tunnel window and picked the
+    # wrong format.) Each iterate call runs ONE format; its achieved
+    # fps feeds an EMA keyed by (format, call-size class); the next
+    # call takes the argmax, re-measuring the loser every
+    # ``explore_interval_s`` so a shifted tunnel window gets noticed.
+    # Size classes keep 25-row streaming windows (fixed overheads
+    # dominate) from being compared against 1000-row offline passes.
+
+    _EXPLORE_INTERVAL_S = 30.0
+
+    def _size_class(self, n_rows: int) -> str:
+        return "small" if n_rows <= 64 else "large"
+
+    def _note_call_fps(self, fmt: str, n_rows: int, wall: float) -> None:
+        if self.transfer_format != "adaptive" or not n_rows or wall <= 0:
+            return
+        key = (fmt, self._size_class(n_rows))
+        fps = n_rows / wall
+        old = self._fmt_fps.get(key)
+        self._fmt_fps[key] = fps if old is None else 0.5 * old + 0.5 * fps
+
+    def _choose_call_format(self, n_rows: int) -> str:
+        """Pick the transfer format for one whole iterate call. Pure
+        table lookup — never blocks, so it is safe ahead of the
+        latency-critical head batch."""
+        if self.transfer_format != "adaptive":
+            return self._active_format
+        cls = self._size_class(n_rows)
+        bgr = self._fmt_fps.get(("bgr", cls))
+        yuv = self._fmt_fps.get(("yuv420", cls))
+        if bgr is None and yuv is None:
+            choice = self._active_format  # bootstrap on the default
+        elif bgr is None:
+            choice = "bgr"                # measure the unmeasured arm
+        elif yuv is None:
+            choice = "yuv420"
+        elif (time.time() - self._last_explore
+                > self._EXPLORE_INTERVAL_S):
+            self._last_explore = time.time()
+            choice = "bgr" if bgr <= yuv else "yuv420"  # refresh loser
+        else:
+            choice = "bgr" if bgr > yuv else "yuv420"
+        self._active_format = choice
+        return choice
+
     def _dispatch(self, entries, seq, feature_indices, audio_feats_dev,
                   pad_to: Optional[int] = None):
         """Stage inputs and start the device forward (async). ``pad_to``
         overrides the padded batch shape (the small first-window batch);
-        default is ``batch_size``."""
+        default is ``batch_size``. Returns device predictions packed in
+        ``self._active_format`` (fixed for non-adaptive synthesizers)."""
         n = len(entries)
         pad_to = pad_to or self.batch_size
+        fmt = self._active_format
         feat_idx = np.zeros((pad_to,), np.int32)
         feat_idx[:n] = feature_indices
         if self._crops_dev is not None:
             phys_idx = np.zeros((pad_to,), np.int32)
             phys_idx[:n] = [s % self.total_frames for s in seq]
-            return self._generate_resident(
+            return self._generate_resident_fns[fmt](
                 self.variables, self._crops_dev, jnp.asarray(phys_idx),
                 audio_feats_dev, jnp.asarray(feat_idx))
         cfg = self.crop
@@ -470,9 +550,9 @@ class FrameSynthesizer:
         for i, e in enumerate(entries):
             ref_u8[i] = e["ref"]
             masked_u8[i] = e["masked"]
-        return self._generate(self.variables, jnp.asarray(ref_u8),
-                              jnp.asarray(masked_u8), audio_feats_dev,
-                              jnp.asarray(feat_idx))
+        return self._generate_fns[fmt](
+            self.variables, jnp.asarray(ref_u8), jnp.asarray(masked_u8),
+            audio_feats_dev, jnp.asarray(feat_idx))
 
     def _paste_back(self, pred_u8: np.ndarray, entry: dict) -> np.ndarray:
         """Composite one generated mouth into a copy of its full frame
@@ -492,12 +572,15 @@ class FrameSynthesizer:
         return composite_frame(entry["img"], crop_img,
                                entry["fm"][..., 0], p.ymin, p.xmin)
 
-    def _composite_batch(self, preds_dev, entries) -> list[np.ndarray]:
+    def _composite_batch(self, preds_dev, entries,
+                         fmt: Optional[str] = None) -> list[np.ndarray]:
         if preds_dev is None:
             return [e["img"].copy() for e in entries]
         cfg = self.crop
+        if fmt is None:  # non-adaptive callers: the format never changes
+            fmt = self._active_format
         preds = np.asarray(preds_dev)[:len(entries)]  # blocks on d2h
-        if self.transfer_format == "yuv420":
+        if fmt == "yuv420":
             # per-frame decode, no re-stack copy — _paste_back indexes
             preds = [yuv420_unpack(p, cfg.size) for p in preds]
         else:
@@ -593,12 +676,16 @@ class FrameSynthesizer:
                 p += n
 
         seq_iter = canonical_seq_stream()
+        # one transfer format per call (chosen from the measured-fps
+        # table; zero-latency, safe ahead of the head batch) — the
+        # call's achieved fps is fed back in the finally block
+        call_fmt = self._choose_call_format(n_rows)
 
         try:
             for ri, (start, end) in enumerate(ranges):
                 head = (ri == 0 and self.first_batch_size
                         and end - start == self.first_batch_size)
-                seq = [next(seq_iter) for _ in range(end - start)]
+                seq = list(itertools.islice(seq_iter, end - start))
 
                 t0 = time.time()
                 entries = self._entries_for(seq)
@@ -621,7 +708,8 @@ class FrameSynthesizer:
                                                  "copy_to_host_async"):
                     preds.copy_to_host_async()  # start d2h behind compute
                 inflight.append((self.executor.submit(
-                    self._composite_batch, preds, entries), seq))
+                    self._composite_batch, preds, entries, call_fmt),
+                    seq))
                 # pop eagerly once the head batch is composited — frames
                 # reach the consumer (player buffer) at the earliest
                 # possible moment instead of only when the pipeline is
@@ -637,6 +725,11 @@ class FrameSynthesizer:
             stats["process_batch"] = time.time() - t_start - \
                 stats["load_frame"]
             t = time.time() - t_start
+            if is_generate_sync_frame:
+                # frames actually DELIVERED — an early-closed generator
+                # must not report the full row count over a short wall
+                emitted = self.last_logical_index - start_frame_idx + 1
+                self._note_call_fps(call_fmt, min(emitted, n_rows), t)
             if t > 0 and n_rows:
                 print(f"synthesis: {n_rows / t:.2f} fps "
                       f"(load {stats['load_frame']:.2f}s, "

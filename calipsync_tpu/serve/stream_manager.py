@@ -220,9 +220,26 @@ class StreamingVideoManager:
         Call before :meth:`start_playing` for sub-second warm TTF."""
         batches = self._silence_window()
         feats = np.stack([b.hubert_feature for b in batches])
-        for _ in self.synthesizer.iterate_synthesized_frames(feats, 0,
-                                                             True):
-            pass
+        synth = self.synthesizer
+        # an adaptive synthesizer may flip transfer format mid-serving;
+        # warm BOTH executables now so a flip never pays a cold compile
+        # inside a realtime window (pin transfer_format during each pass
+        # so the probe can't switch away before the full batch compiles)
+        if getattr(synth, "transfer_format", None) == "adaptive":
+            saved = synth._active_format
+            try:
+                for fmt in ("bgr", "yuv420"):
+                    synth.transfer_format = fmt
+                    synth._active_format = fmt
+                    for _ in synth.iterate_synthesized_frames(feats, 0,
+                                                              True):
+                        pass
+            finally:
+                synth.transfer_format = "adaptive"
+                synth._active_format = saved
+        else:
+            for _ in synth.iterate_synthesized_frames(feats, 0, True):
+                pass
 
     def _producer_loop(self) -> None:
         last_frame_index = 0

@@ -452,3 +452,75 @@ def test_first_batch_size_output_identical(synthetic_step3_dir,
     assert FrameSynthesizer(variables, str(synthetic_step3_dir),
                             model=model, batch_size=4, seed=0,
                             first_batch_size=-1).first_batch_size == 0
+
+
+def test_adaptive_transfer_format_matches_fixed(synthetic_step3_dir,
+                                                gen_variables):
+    """'adaptive' picks the format its measured-fps table says wins and
+    its frames are byte-identical to the corresponding fixed-format run
+    (the choice only swaps which packed executable ships the bytes)."""
+    import time
+
+    model, variables = gen_variables
+    feats = np.random.default_rng(7).standard_normal(
+        (8, 2, 1024)).astype(np.float32)
+
+    fixed = {}
+    for fmt in ("bgr", "yuv420"):
+        s = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                             model=model, batch_size=4, seed=9,
+                             transfer_format=fmt)
+        fixed[fmt] = [it["frame"]
+                      for it in s.iterate_synthesized_frames(feats)]
+
+    for winner in ("yuv420", "bgr"):
+        loser = "bgr" if winner == "yuv420" else "yuv420"
+        synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                                 model=model, batch_size=4, seed=9,
+                                 transfer_format="adaptive")
+        # pre-seed both arms of the measured-fps table so the call
+        # takes the argmax (no exploration: last_explore is fresh)
+        synth._fmt_fps = {(winner, "small"): 500.0,
+                          (loser, "small"): 100.0}
+        synth._last_explore = time.time()
+        got = [it["frame"]
+               for it in synth.iterate_synthesized_frames(feats)]
+        assert synth._active_format == winner
+        for a, b in zip(got, fixed[winner]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_bandit_bootstrap_and_feedback(synthetic_step3_dir,
+                                                gen_variables):
+    """With no measurements the first call runs the slow-tunnel-safe
+    default (yuv420) and records its fps; the second call measures the
+    other arm; later calls take the argmax. The head batch never incurs
+    any probe — the choice is a table lookup."""
+    model, variables = gen_variables
+    feats = np.random.default_rng(7).standard_normal(
+        (8, 2, 1024)).astype(np.float32)
+    synth = FrameSynthesizer(variables, str(synthetic_step3_dir),
+                             model=model, batch_size=4, seed=9,
+                             transfer_format="adaptive",
+                             first_batch_size=2)
+    assert synth._active_format == "yuv420"
+    list(synth.iterate_synthesized_frames(feats))
+    assert ("yuv420", "small") in synth._fmt_fps
+    assert ("bgr", "small") not in synth._fmt_fps
+    list(synth.iterate_synthesized_frames(feats))   # measures bgr arm
+    assert ("bgr", "small") in synth._fmt_fps
+    list(synth.iterate_synthesized_frames(feats))   # argmax from here
+    table = synth._fmt_fps
+    best = max(("bgr", "yuv420"),
+               key=lambda f: table[(f, "small")])
+    assert synth._active_format == best
+
+    # pinning (the bench helper contract): fixed format, no feedback
+    before = dict(synth._fmt_fps)
+    saved = (synth.transfer_format, synth._active_format)
+    synth.transfer_format, synth._active_format = "bgr", "bgr"
+    try:
+        list(synth.iterate_synthesized_frames(feats))
+    finally:
+        synth.transfer_format, synth._active_format = saved
+    assert synth._fmt_fps == before
