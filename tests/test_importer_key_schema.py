@@ -447,3 +447,106 @@ def test_yolo_importer_consumes_real_checkpoint_listing():
     got_shapes = jax.tree.map(lambda a: tuple(a.shape), variables)
     want_shapes = jax.tree.map(lambda a: tuple(a.shape), want)
     assert got_shapes == want_shapes
+
+
+# ---------------------------------------------------------------------------
+# Literal committed manifests for the two remaining external checkpoints
+# (VERDICT r4 next #6): the YOLO tsv pattern applied to vgg19-dcbb9e9d.pth
+# and facebook/hubert-large-ls960-ft. Fixtures are generated by
+# tools/gen_weight_manifests.py from the OFFICIAL layouts (transformers
+# HubertForCTC on a meta device; torchvision's configuration-E walk),
+# not from this repo's JAX twins.
+# ---------------------------------------------------------------------------
+
+def _load_manifest(name):
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "fixtures" / name
+    cat = {}
+    for line in path.read_text().splitlines():
+        if not line or line.startswith("#"):
+            continue
+        key, _, dims = line.partition("\t")
+        cat[key] = (tuple(int(d) for d in dims.split(","))
+                    if dims else ())
+    return cat
+
+
+def test_vgg19_manifest_param_count_and_coverage():
+    """The committed vgg19 manifest totals torchvision's published
+    143,667,240 parameters, and import_vgg19_features consumes every
+    features.* key of the truncated prefix the reference uses
+    (step2_train_unet.py:14-25) with exact shape agreement."""
+    import math
+
+    from calipsync_tpu.nn.vgg import _LAYERS, import_vgg19_features
+
+    cat = _load_manifest("vgg19_state_dict_keys.tsv")
+    assert len(cat) == 38
+    assert sum(math.prod(s) for s in cat.values()) == 143_667_240
+
+    sd = {k: np.zeros(s, np.float32) for k, s in cat.items()}
+    tracked = TrackingDict(sd)
+    variables = import_vgg19_features(tracked)
+    # the loss trunk stops at conv3_3 (features.14); deeper conv blocks
+    # and the classifier head are the reference's own dead weight
+    used_idx = {idx for idx, _, _, _ in _LAYERS}
+    allow = ["classifier."] + [f"features.{i}." for i in
+                               (16, 19, 21, 23, 25, 28, 30, 32, 34)]
+    assert tracked.unconsumed(tuple(allow)) == []
+    for idx, width, _, _ in _LAYERS:
+        k = variables["params"][f"conv{idx}"]["kernel"]
+        assert k.shape == (3, 3, cat[f"features.{idx}.weight"][1], width)
+    assert used_idx == {0, 2, 5, 7, 10, 12, 14}
+
+
+def test_hubert_manifest_matches_published_size():
+    """The committed hubert-large-ls960-ft manifest describes the real
+    checkpoint: 424 keys, ~315M parameters (the published model size),
+    24 encoder layers, the grouped weight-normed positional conv."""
+    import math
+
+    cat = _load_manifest("hubert_large_ls960_ft_state_dict_keys.tsv")
+    assert len(cat) == 424
+    total = sum(math.prod(s) if s else 1 for s in cat.values())
+    assert total == 315_471_520
+    layers = {k.split(".")[3] for k in cat
+              if k.startswith("hubert.encoder.layers.")}
+    assert len(layers) == 24
+    assert cat["hubert.encoder.pos_conv_embed.conv.weight_v"] == (
+        1024, 64, 128)
+    assert cat["hubert.encoder.pos_conv_embed.conv.weight_g"] == (
+        1, 1, 128)
+
+
+def test_hubert_importer_consumes_real_checkpoint_listing():
+    """import_hubert consumes EVERY key of the real on-disk listing the
+    way the reference loads it (HubertModel.from_pretrained strips the
+    'hubert.' prefix and drops lm_head; masked_spec_embed is SpecAugment
+    training state the eval path never applies) — and the imported tree
+    matches the flax init tree's exact shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from calipsync_tpu.nn.hubert import (HubertConfig, HubertModel,
+                                         import_hubert)
+
+    cat = _load_manifest("hubert_large_ls960_ft_state_dict_keys.tsv")
+    stripped = {k[len("hubert."):]: np.zeros(s, np.float32)
+                for k, s in cat.items() if k.startswith("hubert.")}
+    tracked = TrackingDict(stripped)
+    variables = import_hubert(tracked, HubertConfig.large())
+    assert tracked.unconsumed(("masked_spec_embed",)) == []
+    # everything outside the hubert. trunk is the CTC head HF drops
+    assert all(k.startswith("lm_head.") for k in cat
+               if not k.startswith("hubert."))
+
+    config = HubertConfig.large()
+    model = HubertModel(config)
+    init = jax.eval_shape(
+        lambda: model.init(jax.random.key(0),
+                           jnp.zeros((1, 400), jnp.float32)))
+    got = jax.tree.map(lambda x: np.asarray(x).shape, variables)
+    want = jax.tree.map(lambda x: tuple(x.shape), init)
+    assert jax.tree.structure(got) == jax.tree.structure(want)
+    assert got == want
