@@ -57,7 +57,8 @@ def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
                     mesh: Mesh, axis: str = "model",
                     num_microbatches: Optional[int] = None,
                     num_valid_frames: Optional[jax.Array] = None,
-                    dtype: Optional[Any] = None) -> jax.Array:
+                    dtype: Optional[Any] = None,
+                    data_axis: Optional[str] = None) -> jax.Array:
     """HuBERT forward with the encoder layer stack pipelined over ``axis``.
 
     Matches ``HubertModel.apply`` (nn/hubert.py:246-273) including the
@@ -78,6 +79,14 @@ def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
         stage 0 one per tick. Bubble fraction is (S-1)/(M+S-1).
       num_valid_frames: optional (B,) true-frame counts, same semantics
         as ``HubertModel.__call__``.
+      data_axis: optional second mesh axis carrying DATA parallelism
+        OVER the pipeline: each data shard runs the full GPipe schedule
+        on its 1/D of every microbatch, layers replicated across it —
+        the DP(hosts) x PP(stages) composition a multi-host serving
+        deployment uses (VERDICT r4 #8). Per-shard batch B/M must
+        divide by ``mesh.shape[data_axis]``. The pipeline body is
+        unchanged: DP needs no cross-shard communication, so the only
+        difference is the in/out shardings.
     """
     S = mesh.shape[axis]
     p = variables["params"]
@@ -176,9 +185,18 @@ def hubert_pp_apply(config: HubertConfig, variables: dict, wav: jax.Array,
         # the replicated-output contract of this function.
         return jax.lax.psum(acc, axis)
 
-    in_specs = (P(axis), P(axis), P())
+    if data_axis is not None:
+        D = mesh.shape[data_axis]
+        if (B // M) % D:
+            raise ValueError(f"per-microbatch batch {B // M} not "
+                             f"divisible by data axis {D}")
+        in_specs = (P(axis), P(axis, data_axis), P(None, data_axis))
+        out_specs = P(None, data_axis)
+    else:
+        in_specs = (P(axis), P(axis), P())
+        out_specs = P()
     out = jax.shard_map(pipelined, mesh=mesh, in_specs=in_specs,
-                        out_specs=P(), check_vma=False)(
+                        out_specs=out_specs, check_vma=False)(
         stacked, mb, mb_mask)
     x = out.reshape(B, *x.shape[1:])
     if config.do_stable_layer_norm:
