@@ -49,17 +49,29 @@ def frame_rms_db(audio: np.ndarray, frame_length: int = 2048,
 class TrainPreprocessor:
     def __init__(self, lip_detector, hubert_extractor,
                  batch_size: int = 64, crop: CropConfig = CropConfig(),
-                 min_db: float = -150.0):
+                 min_db: float = -150.0, long_audio: str = "auto"):
         """
         Args:
           lip_detector: vision.lip_detector.LipDetector
           hubert_extractor: audio.hubert_pipeline.HubertFeatureExtractor
+          long_audio: which HuBERT path featurizes the training clip —
+            'auto' (one-pass up to one 20 s chunk, overlap-chunked
+            beyond; the default), 'one_pass' (reference-exact: the FULL
+            clip in one forward, as step1_data_preprocess.py:191-192
+            does via utils/hubert_extractor.py:67-77 — quadratic
+            attention in clip length, a 5-min clip is 22,500 tokens),
+            or 'chunked' (always the overlap-chunked path). The
+            measured divergence between the two is recorded in
+            HUBERT_DELTA_r05.json / PERF.md.
         """
         self.lip_detector = lip_detector
         self.hubert = hubert_extractor
         self.batch_size = batch_size
         self.crop = crop
         self.min_db = min_db
+        if long_audio not in ("auto", "one_pass", "chunked"):
+            raise ValueError(f"unknown long_audio mode: {long_audio}")
+        self.long_audio = long_audio
 
     def _frame_batches(self, video_path: str):
         cap = cv2.VideoCapture(video_path)
@@ -143,7 +155,13 @@ class TrainPreprocessor:
         if frame_rms_db(audio) < self.min_db:
             raise RuntimeError("audio level too low: no speaker detected")
 
-        extract = getattr(self.hubert, "extract_auto", self.hubert.extract)
+        extract = {
+            "auto": getattr(self.hubert, "extract_auto",
+                            self.hubert.extract),
+            "one_pass": self.hubert.extract,
+            "chunked": getattr(self.hubert, "extract_features",
+                               self.hubert.extract),
+        }[self.long_audio]
         feats = extract(audio)
         np.save(os.path.join(output_dir, "aud_hu.npy"), feats)
 

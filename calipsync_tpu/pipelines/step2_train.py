@@ -49,11 +49,14 @@ def train_digital_model(dataset_dir: str, save_dir: str,
                         unet_checkpoint: Optional[str] = None,
                         cfg: PipelineConfig = PipelineConfig(),
                         resume: bool = False,
-                        log_every: int = 10) -> str:
+                        log_every: int = 10,
+                        loss_history: Optional[list] = None) -> str:
     """Finetune the generator on one speaker's step1 data.
 
     ``unet_checkpoint`` may be a torch .pth (base-model warm start, the
     reference flow at all_pipeline.py:92) or an Orbax dir (ours).
+    ``loss_history``: optional list that receives every step's scalar
+    loss (appended per epoch; used by trajectory-comparison tools).
     Returns the final checkpoint path.
 
     With ``cfg.train.preemption_safe`` (default), SIGTERM/SIGINT make
@@ -65,9 +68,9 @@ def train_digital_model(dataset_dir: str, save_dir: str,
         with ckpt.PreemptionGuard() as guard:
             return _train_impl(dataset_dir, save_dir, vgg_path,
                                unet_checkpoint, cfg, resume, log_every,
-                               guard)
+                               guard, loss_history)
     return _train_impl(dataset_dir, save_dir, vgg_path, unet_checkpoint,
-                       cfg, resume, log_every, None)
+                       cfg, resume, log_every, None, loss_history)
 
 
 def _train_impl(dataset_dir: str, save_dir: str,
@@ -76,7 +79,8 @@ def _train_impl(dataset_dir: str, save_dir: str,
                 cfg: PipelineConfig,
                 resume: bool,
                 log_every: int,
-                guard: Optional[ckpt.PreemptionGuard]) -> str:
+                guard: Optional[ckpt.PreemptionGuard],
+                loss_history: Optional[list] = None) -> str:
     os.makedirs(save_dir, exist_ok=True)
     mesh = build_mesh(cfg.mesh)  # 1-D or hybrid (host, data) per config
     axes = batch_axes(mesh)
@@ -248,6 +252,10 @@ def _train_impl(dataset_dir: str, save_dir: str,
                   f"{n_batches} batches; checkpoint saved to {last_path}"
                   f" — rerun with resume=True to continue")
             return last_path
+        if loss_history is not None and losses:
+            flat = np.concatenate([np.atleast_1d(np.asarray(l))
+                                   for l in losses])
+            loss_history.extend(float(x) for x in flat)
         epoch_loss = (float(jnp.sum(jnp.concatenate(
             [jnp.atleast_1d(l) for l in losses]))) if losses else 0.0)
         final = epoch == cfg.train.epochs - 1
