@@ -190,9 +190,22 @@ def cmd_infer(args):
 
 
 def cmd_clone(args):
+    import dataclasses
+
     from calipsync_tpu.pipelines.all_pipeline import clone_video_local
 
     cfg = _load_cfg(args)
+    # the clone recipe defaults to bf16 compute (CLONE_r05.json: same
+    # holdout quality as fp32 at equal epochs, ~1.4x faster); the CLI
+    # flag always wins for this command — pass --dtype float32 to
+    # reproduce the reference's fp32 finetune exactly
+    if getattr(args, "dtype", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, dtype=args.dtype))
+    if getattr(args, "epochs", None):
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           epochs=args.epochs))
     weights_path, model_id = clone_video_local(
         args.video, args.out, build_lip_detector(args.weights),
         build_hubert(args.hubert, mesh_cfg=cfg.mesh), vgg_path=args.vgg,
@@ -558,6 +571,16 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--vgg", default=None)
     sp.add_argument("--base", default=None)
+    sp.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="finetune compute dtype. bfloat16 is the "
+                         "measured recipe: same quality per epoch as "
+                         "fp32 at ~1.4x the step rate on the clone "
+                         "pipeline's own data (CLONE_r05.json)")
+    sp.add_argument("--epochs", type=int, default=None,
+                    help="override TrainConfig.epochs (CLONE_r05's "
+                         "curve: 40 closes the sync-similarity gap "
+                         "0.9695 -> 0.9964 on the synthetic fixture)")
     common(sp, "weights", "hubert")
     sp.set_defaults(fn=cmd_clone)
 

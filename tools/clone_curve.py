@@ -77,9 +77,10 @@ def main():
     res = int(os.environ.get("CURVE_RES", "480"))
     batch = int(os.environ.get("CURVE_BATCH", "16"))
     sync_epochs = int(os.environ.get("CURVE_SYNC_EPOCHS", "5"))
+    points_env = os.environ.get("CURVE_POINTS", DEFAULT_POINTS)
+    # CURVE_POINTS="" skips the sweep (recommended-recipe-only rerun)
     points = [(d, int(e)) for d, e in
-              (p.split(":") for p in os.environ.get(
-                  "CURVE_POINTS", DEFAULT_POINTS).split(","))]
+              (p.split(":") for p in points_env.split(",") if p)]
     rec_dtype, rec_epochs = os.environ.get(
         "CURVE_RECOMMEND", "bfloat16:20").split(":")
     rec_epochs = int(rec_epochs)
@@ -109,10 +110,11 @@ def main():
         TrainPreprocessor(lip, extractor, crop=crop).process_video(
             train_video, data_dir)
         out["step1_s"] = round(time.time() - t0, 2)
-        infer_dir = os.path.join(tmp, "infer_assets")
+        infer_root = os.path.join(tmp, "infer_assets")
         t0 = time.time()
-        InferPreprocessor(lip).process_video(train_video, infer_dir)
+        InferPreprocessor(lip).process_video(train_video, infer_root)
         out["step3_s"] = round(time.time() - t0, 2)
+        infer_dir = os.path.join(infer_root, "infer_data")
         hold_dir = os.path.join(tmp, "holdout_data")
         TrainPreprocessor(lip, extractor, crop=crop).process_video(
             hold_video, hold_dir)
@@ -239,7 +241,7 @@ def main():
             print(json.dumps(point), flush=True)
 
         # ---- gap diagnosis: similarity vs epochs trend ---------------
-        sims = [(p["epochs"], p["sync_produced"]["similarity"])
+        sims = [(p["epochs"], p["sync_produced"]["sim_best"])
                 for p in out["points"] if p["dtype"] == "bfloat16"]
         sims.sort()
         if len(sims) >= 2:
