@@ -341,9 +341,16 @@ class MiniRTMPServer:
     def __init__(self, capture_path: str, host: str = "127.0.0.1",
                  port: int = 0,
                  on_tag: Optional[Callable[[int, int, bytes],
-                                           None]] = None):
+                                           None]] = None,
+                 accept_timeout: float = 3600.0):
+        """``accept_timeout``: backstop on waiting for the publisher to
+        connect. Very generous by default — soak harnesses construct
+        the ingest before a warmup that can cold-compile for tens of
+        minutes; the accept loop also exits promptly on :meth:`stop`."""
         self.capture_path = capture_path
         self.on_tag = on_tag
+        self.accept_timeout = accept_timeout
+        self._closing = threading.Event()
         self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._lsock.bind((host, port))
@@ -362,8 +369,17 @@ class MiniRTMPServer:
 
     def _serve(self) -> None:
         try:
-            self._lsock.settimeout(30.0)
-            conn, _ = self._lsock.accept()
+            # poll-accept so stop() interrupts the wait promptly while
+            # the backstop deadline still bounds an abandoned server
+            self._lsock.settimeout(1.0)
+            deadline = time.time() + self.accept_timeout
+            while True:
+                try:
+                    conn, _ = self._lsock.accept()
+                    break
+                except socket.timeout:
+                    if self._closing.is_set() or time.time() > deadline:
+                        raise
             conn.settimeout(30.0)
             _handshake_server(conn)
             writer = ChunkWriter(conn)
@@ -437,6 +453,7 @@ class MiniRTMPServer:
         del meta
 
     def stop(self, timeout: float = 10.0) -> None:
+        self._closing.set()
         self.finished.wait(timeout)
         try:
             self._lsock.close()

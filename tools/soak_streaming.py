@@ -158,7 +158,9 @@ def main():
         # compile every cold-path executable BEFORE the clock starts
         # (cold compile is minutes over this toolchain): silence
         # featurization, silence batch cache, window synthesis
+        print(f"[soak] warmup start t={time.monotonic():.0f}", flush=True)
         mgr.warmup()
+        print(f"[soak] warmup done t={time.monotonic():.0f}", flush=True)
         if faults:
             real_iter = synth.iterate_synthesized_frames
             windows = {"n": 0}
@@ -173,6 +175,7 @@ def main():
 
             synth.iterate_synthesized_frames = flaky_iter
         mgr.start_playing()
+        print(f"[soak] playing t={time.monotonic():.0f}", flush=True)
         t0 = time.monotonic()
         i = 0
         while time.monotonic() - t0 < seconds:
