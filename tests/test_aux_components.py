@@ -164,6 +164,36 @@ def test_cli_parses_all_subcommands():
         main([])  # missing subcommand
 
 
+def test_cli_clone_recipe_flags(monkeypatch):
+    """clone defaults to the measured bf16 recipe and threads
+    --dtype/--epochs into the PipelineConfig it hands the orchestrator
+    (CLONE_r05.json)."""
+    import calipsync_tpu.cli as cli
+
+    seen = {}
+
+    def fake_clone(video, out, lip, hubert, vgg_path=None,
+                   unet_checkpoint=None, cfg=None, **kw):
+        seen["cfg"] = cfg
+        return "/w", "mid"
+
+    monkeypatch.setattr("calipsync_tpu.pipelines.all_pipeline."
+                        "clone_video_local", fake_clone)
+    monkeypatch.setattr(cli, "build_lip_detector", lambda *a, **k: None)
+    monkeypatch.setattr(cli, "build_hubert", lambda *a, **k: None)
+
+    cli.main(["clone", "--video", "v.mp4", "--out", "o",
+             "--weights", "w", "--hubert", "h"])
+    assert seen["cfg"].model.dtype == "bfloat16"
+    assert seen["cfg"].train.epochs == 20  # TrainConfig default
+
+    cli.main(["clone", "--video", "v.mp4", "--out", "o",
+              "--weights", "w", "--hubert", "h",
+              "--dtype", "float32", "--epochs", "40"])
+    assert seen["cfg"].model.dtype == "float32"
+    assert seen["cfg"].train.epochs == 40
+
+
 def test_syncnet_wenet_matches_reference(reference_path):
     """SyncNet wenet mode (256-channel audio stack) at the parity bar."""
     import sys
