@@ -516,8 +516,10 @@ class FrameSynthesizer:
             choice = self._active_format  # bootstrap on the default
         elif bgr is None:
             choice = "bgr"                # measure the unmeasured arm
+            self._last_explore = time.time()  # bootstrap IS an explore
         elif yuv is None:
             choice = "yuv420"
+            self._last_explore = time.time()
         elif (time.time() - self._last_explore
                 > self._EXPLORE_INTERVAL_S):
             self._last_explore = time.time()
